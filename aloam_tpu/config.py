@@ -1,0 +1,140 @@
+"""Static configuration for the aloam_tpu engine.
+
+One frozen dataclass collects every knob of the reference pipeline:
+
+* the ROS-parameter surface (``scan_line``, ``minimum_range``,
+  ``mapping_skip_frame``, ``mapping_line_resolution``,
+  ``mapping_plane_resolution`` — reference ``scanRegistration.cpp:466-468``,
+  ``laserOdometry.cpp:191``, ``laserMapping.cpp:902-903``),
+* the hard-coded constants that are de-facto config (curvature threshold,
+  pick counts, NMS window — ``scanRegistration.cpp:291-390``; distance gates
+  — ``laserOdometry.cpp:65-66``; cube grid — ``laserMapping.cpp:74-82``;
+  solver schedule — ``laserOdometry.cpp:278,496``), and
+* the padded static capacities this engine needs because every buffer is a
+  fixed-size array + mask instead of a ``std::vector``.
+
+Configs are hashable so they can be passed as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class AloamConfig:
+    # --- sensor / launch-file parameters -------------------------------
+    scan_lines: int = 64                # `scan_line` (16 | 32 | 64)
+    minimum_range: float = 5.0          # `minimum_range` [m]
+    mapping_skip_frame: int = 1         # `mapping_skip_frame`
+    line_resolution: float = 0.4        # `mapping_line_resolution` [m]
+    plane_resolution: float = 0.8       # `mapping_plane_resolution` [m]
+    scan_period: float = 0.1            # scanRegistration.cpp:60
+    distortion: bool = False            # laserOdometry.cpp:59 (DISTORTION 0)
+
+    # --- feature extraction (scanRegistration.cpp) ---------------------
+    curvature_threshold: float = 0.1    # :297,:352
+    max_sharp: int = 2                  # :301
+    max_less_sharp: int = 20            # :307
+    max_flat: int = 4                   # :359
+    nms_window: int = 5                 # :319,:331 (±5 ring neighbours)
+    nms_gap_sq: float = 0.05            # :324 (point-gap early stop, m²)
+    n_regions: int = 6                  # :282 (azimuth regions per ring)
+    less_flat_leaf: float = 0.2         # :404 (per-ring voxel leaf, m)
+    edge_margin: int = 5                # :249-251 ([start+5, end-6] windows)
+
+    # --- odometry (laserOdometry.cpp) -----------------------------------
+    dist_sq_threshold: float = 25.0     # :65
+    nearby_scan: float = 2.5            # :66
+    odom_outer_rounds: int = 2          # :278
+    odom_lm_iters: int = 4              # :496
+    huber_delta: float = 0.1            # :284
+
+    # --- mapping (laserMapping.cpp) --------------------------------------
+    cube_width: int = 21                # :77
+    cube_height: int = 21               # :78
+    cube_depth: int = 11                # :79
+    cube_size: float = 50.0             # :312 (cube side, m)
+    map_knn_gate_sq: float = 1.0        # :584,:652 (5th NN gate, m²)
+    map_eigen_ratio: float = 3.0        # :611 (line-likeness λ₂ > 3λ₁)
+    map_plane_tol: float = 0.2          # :674 (plane-fit inlier tolerance, m)
+    map_min_corner: int = 10            # :554
+    map_min_surf: int = 50              # :554
+    map_outer_rounds: int = 2           # :562
+    map_lm_iters: int = 4               # :715
+    map_edge_half_len: float = 0.1      # :615 (virtual edge point offset, m)
+
+    # --- padded static capacities (ours, not the reference's) -----------
+    n_raw: int = 131072                 # raw input points per scan (padded)
+    ring_cap: int = 2560                # max points per ring after bucketing
+    less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
+    sharp_iters: int = 64               # greedy corner-pass loop bound / region
+    flat_iters: int = 32                # greedy flat-pass loop bound / region
+    cube_corner_cap: int = 1024         # corner points per map cube
+    cube_surf_cap: int = 2048           # surf points per map cube
+    corner_stack_cap: int = 4096        # downsampled input corner stack
+    surf_stack_cap: int = 16384         # downsampled input surf stack
+    knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
+
+    # exact region-sequential NMS (reference semantics) vs parallel regions
+    sequential_regions: bool = True
+
+    # --- derived capacities ---------------------------------------------
+    @property
+    def sharp_cap(self) -> int:
+        return _round_up(self.scan_lines * self.n_regions * self.max_sharp, 8)
+
+    @property
+    def less_sharp_cap(self) -> int:
+        return _round_up(
+            self.scan_lines * self.n_regions * self.max_less_sharp, 8)
+
+    @property
+    def flat_cap(self) -> int:
+        return _round_up(self.scan_lines * self.n_regions * self.max_flat, 8)
+
+    @property
+    def region_cap(self) -> int:
+        # max points per (ring, region): ceil(ring_cap / n_regions), padded
+        return _round_up(-(-self.ring_cap // self.n_regions) + 1, 8)
+
+    @property
+    def n_cubes(self) -> int:
+        return self.cube_width * self.cube_height * self.cube_depth
+
+    @property
+    def from_map_corner_cap(self) -> int:
+        # 5x5x3 local cube neighborhood, compacted (laserMapping.cpp:512-529)
+        return _round_up(min(75 * self.cube_corner_cap, 32768), 128)
+
+    @property
+    def from_map_surf_cap(self) -> int:
+        return _round_up(min(75 * self.cube_surf_cap, 65536), 128)
+
+    def replace(self, **kw) -> "AloamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-sensor presets mirroring the three launch files
+# (launch/aloam_velodyne_{VLP_16,HDL_32,HDL_64}.launch).
+PRESETS: dict[str, AloamConfig] = {
+    "VLP-16": AloamConfig(
+        scan_lines=16, minimum_range=0.3,
+        line_resolution=0.2, plane_resolution=0.4,
+        n_raw=32768, ring_cap=2048, less_flat_cap=16384,
+    ),
+    "HDL-32": AloamConfig(
+        scan_lines=32, minimum_range=0.3,
+        line_resolution=0.2, plane_resolution=0.4,
+        n_raw=65536, ring_cap=2560, less_flat_cap=32768,
+    ),
+    "HDL-64": AloamConfig(
+        scan_lines=64, minimum_range=5.0,
+        line_resolution=0.4, plane_resolution=0.8,
+        n_raw=131072, ring_cap=2560, less_flat_cap=32768,
+    ),
+}

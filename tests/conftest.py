@@ -1,0 +1,23 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's total lack of CI (SURVEY.md §4) with the opposite:
+every stage is unit-tested against a NumPy oracle, and multi-device sharding
+tests run on `--xla_force_host_platform_device_count=8` so no TPU slice is
+needed (SURVEY.md §4 "multi-device without a cluster").
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
