@@ -135,6 +135,6 @@ PRESETS: dict[str, AloamConfig] = {
     "HDL-64": AloamConfig(
         scan_lines=64, minimum_range=5.0,
         line_resolution=0.4, plane_resolution=0.8,
-        n_raw=131072, ring_cap=2560, less_flat_cap=32768,
+        n_raw=131072, ring_cap=2560, less_flat_cap=49152,
     ),
 }

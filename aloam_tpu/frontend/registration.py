@@ -1,0 +1,160 @@
+"""Scan registration: range filter, ring split, per-point time, curvature.
+
+Vectorized re-design of the per-point loops in
+``/root/reference/src/scanRegistration.cpp:114-266`` (components C2-C4 of
+SURVEY.md §2): the sequential ``halfPassed`` azimuth state machine becomes a
+cumulative-OR unwrap, ring bucketing becomes one argsort + scatter, and the
+11-point curvature stencil becomes a difference-stencil sum (better f32
+conditioning than the reference's neighbor-sum-minus-10p, same value).
+Everything is jit/vmap-friendly with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from aloam_tpu.config import AloamConfig
+from aloam_tpu.types import RingCloud
+
+_TWO_PI = 2.0 * jnp.pi
+
+
+def ring_ids(xyz: jnp.ndarray, scan_lines: int):
+    """Elevation-angle ring assignment (scanRegistration.cpp:166-205).
+
+    Uses C-style int() truncation toward zero, like the reference.
+    Returns (ring i32, keep bool).
+    """
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    angle = jnp.degrees(jnp.arctan(z / jnp.sqrt(x * x + y * y)))
+    if scan_lines == 16:
+        sid = jnp.trunc((angle + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+        keep = (sid >= 0) & (sid <= scan_lines - 1)
+    elif scan_lines == 32:
+        sid = jnp.trunc((angle + 92.0 / 3.0) * 3.0 / 4.0).astype(jnp.int32)
+        keep = (sid >= 0) & (sid <= scan_lines - 1)
+    elif scan_lines == 64:
+        upper = jnp.trunc((2.0 - angle) * 3.0 + 0.5).astype(jnp.int32)
+        lower = scan_lines // 2 + jnp.trunc(
+            (-8.83 - angle) * 2.0 + 0.5).astype(jnp.int32)
+        sid = jnp.where(angle >= -8.83, upper, lower)
+        keep = ~((angle > 2) | (angle < -24.33) | (sid > 50) | (sid < 0))
+    else:
+        raise ValueError(f"unsupported scan_lines={scan_lines}")
+    return sid, keep
+
+
+def rel_times(xyz: jnp.ndarray, valid: jnp.ndarray, kept: jnp.ndarray):
+    """Azimuth-derived intra-scan relative time (scanRegistration.cpp:141-238).
+
+    ``valid`` marks points surviving the NaN/range filter (these define
+    startOri/endOri via the first/last cloud points, :141-144); ``kept``
+    additionally requires a legal ring ID (ring-dropped points skip the state
+    machine via `continue`, :175/:184/:198).
+
+    The sequential halfPassed flag flips exactly once, after the first kept
+    point whose (branch-false-adjusted) azimuth passes startOri + pi; so
+    halfPassed(i) = OR over kept j<i of trigger(j) — an exclusive cumulative
+    OR, fully parallel.
+    """
+    n = xyz.shape[0]
+    ori = -jnp.arctan2(xyz[:, 1], xyz[:, 0])
+
+    first = jnp.argmax(valid)
+    last = n - 1 - jnp.argmax(valid[::-1])
+    start_ori = ori[first]
+    end_ori = ori[last] + _TWO_PI
+    span = end_ori - start_ori
+    end_ori = jnp.where(span > 3 * jnp.pi, end_ori - _TWO_PI,
+                        jnp.where(span < jnp.pi, end_ori + _TWO_PI, end_ori))
+
+    # branch-false (first half) adjustment
+    ori_f = jnp.where(ori < start_ori - jnp.pi / 2, ori + _TWO_PI,
+                      jnp.where(ori > start_ori + 3 * jnp.pi / 2,
+                                ori - _TWO_PI, ori))
+    trigger = kept & (ori_f - start_ori > jnp.pi)
+    cum = jnp.cumsum(trigger.astype(jnp.int32))
+    half_passed = (cum - trigger.astype(jnp.int32)) >= 1  # exclusive
+
+    # branch-true (second half) adjustment
+    ori_t = ori + _TWO_PI
+    ori_t = jnp.where(ori_t < end_ori - 3 * jnp.pi / 2, ori_t + _TWO_PI,
+                      jnp.where(ori_t > end_ori + jnp.pi / 2,
+                                ori_t - _TWO_PI, ori_t))
+
+    ori_out = jnp.where(half_passed, ori_t, ori_f)
+    return (ori_out - start_ori) / (end_ori - start_ori)
+
+
+def bucket_rings(xyz: jnp.ndarray, intensity: jnp.ndarray,
+                 ring: jnp.ndarray, valid: jnp.ndarray,
+                 scan_lines: int, ring_cap: int):
+    """Ring-major repack (scanRegistration.cpp:240-252): one argsort by
+    (ring, arrival index) + scatter into a (R, C) grid. Points past a ring's
+    capacity are dropped and counted in `overflow`."""
+    n = xyz.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(scan_lines)
+    key = jnp.where(valid, ring, big) * jnp.int32(n) + idx
+    order = jnp.argsort(key)  # unique keys -> deterministic
+
+    ring_s = jnp.where(valid, ring, big)[order]
+    cnt_all = jnp.bincount(ring_s, length=scan_lines + 1)
+    cnt = cnt_all[:scan_lines]
+    starts = jnp.concatenate([jnp.zeros(1, cnt.dtype),
+                              jnp.cumsum(cnt)])[:scan_lines + 1]
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[
+        jnp.minimum(ring_s, scan_lines)].astype(jnp.int32)
+
+    ok = (ring_s < scan_lines) & (rank < ring_cap)
+    dest = jnp.where(ok, ring_s * ring_cap + rank, scan_lines * ring_cap)
+    flat_xyz = jnp.zeros((scan_lines * ring_cap, 3), xyz.dtype)
+    flat_int = jnp.zeros((scan_lines * ring_cap,), intensity.dtype)
+    flat_xyz = flat_xyz.at[dest].set(xyz[order], mode="drop")
+    flat_int = flat_int.at[dest].set(intensity[order], mode="drop")
+
+    cnt_clamped = jnp.minimum(cnt, ring_cap).astype(jnp.int32)
+    overflow = jnp.sum(cnt - cnt_clamped)
+    return RingCloud(xyz=flat_xyz.reshape(scan_lines, ring_cap, 3),
+                     intensity=flat_int.reshape(scan_lines, ring_cap),
+                     cnt=cnt_clamped), overflow
+
+
+def curvature(rc: RingCloud, edge_margin: int = 5):
+    """11-point curvature stencil (scanRegistration.cpp:256-266) on the
+    ring-major grid: c_i = || sum_{k=-5..5, k!=0} (p_{i+k} - p_i) ||^2.
+
+    Computed as a sum of neighbor differences (numerically friendlier in f32
+    than the reference's raw-coordinate sum; identical value in exact math).
+    Returns (R, C) curvature; only slots with margin <= j <= cnt-margin-2
+    are meaningful — mask is the caller's job (selection windows).
+    """
+    pts = rc.xyz  # (R, C, 3)
+    c = pts.shape[1]
+    pad = jnp.pad(pts, ((0, 0), (edge_margin, edge_margin), (0, 0)))
+    acc = -2.0 * edge_margin * pts
+    for k in range(2 * edge_margin + 1):
+        if k == edge_margin:
+            continue
+        acc = acc + pad[:, k:k + c]
+    return jnp.sum(acc * acc, axis=-1)
+
+
+def register_scan(xyz: jnp.ndarray, mask: jnp.ndarray, cfg: AloamConfig):
+    """C2-C4: filter + ring split + time + bucketing + curvature.
+
+    xyz: (n_raw, 3) f32 in firing order; mask: (n_raw,) validity.
+    Returns (RingCloud, curvature (R,C), overflow).
+    """
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    d2 = jnp.sum(xyz * xyz, axis=-1)
+    valid = mask & finite & (d2 >= cfg.minimum_range ** 2)
+
+    ring, keep = ring_ids(xyz, cfg.scan_lines)
+    rel = rel_times(xyz, valid, valid & keep)
+    intensity = ring.astype(xyz.dtype) + cfg.scan_period * rel
+
+    rc, overflow = bucket_rings(xyz, intensity, ring, valid & keep,
+                                cfg.scan_lines, cfg.ring_cap)
+    curv = curvature(rc, cfg.edge_margin)
+    return rc, curv, overflow

@@ -1,0 +1,29 @@
+"""Masked fixed-capacity array utilities (the std::vector replacement)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def compact(values: jnp.ndarray, mask: jnp.ndarray, cap: int):
+    """Pack masked rows to the front of a capacity-`cap` buffer, preserving
+    order. values (N, ...) / mask (N,). Returns (out, out_mask, n_dropped).
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (pos < cap), pos, cap)
+    out_shape = (cap,) + values.shape[1:]
+    out = jnp.zeros(out_shape, values.dtype).at[dest].set(values, mode="drop")
+    total = pos[-1] + 1
+    kept = jnp.minimum(total, cap)
+    out_mask = jnp.arange(cap) < kept
+    return out, out_mask, total - kept
+
+
+def compact_cloud(xyz: jnp.ndarray, intensity: jnp.ndarray,
+                  mask: jnp.ndarray, cap: int):
+    """compact() for an (xyz, intensity) pair; returns a PointCloud triple."""
+    vals = jnp.concatenate([xyz, intensity[..., None]], axis=-1)
+    out, out_mask, dropped = compact(vals.reshape(-1, 4), mask.reshape(-1),
+                                     cap)
+    return out[:, :3], out[:, 3], out_mask, dropped

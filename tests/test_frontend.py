@@ -1,0 +1,153 @@
+"""Golden tests: JAX frontend vs the NumPy oracle of scanRegistration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aloam_tpu.config import PRESETS
+from aloam_tpu.frontend.registration import register_scan
+from aloam_tpu.frontend.features import extract_features
+from aloam_tpu.frontend.voxel import voxel_downsample_masked
+from aloam_tpu.io import synthetic as syn
+from tests.oracle import registration as orc
+
+
+@pytest.fixture(scope="module")
+def scan64():
+    scans, _ = syn.make_sequence(1, scan_lines=64, n_azimuth=1200, seed=3)
+    return scans[0]
+
+
+@pytest.fixture(scope="module")
+def cfg64():
+    return PRESETS["HDL-64"].replace(n_raw=81920)
+
+
+@pytest.fixture(scope="module")
+def jax_out(scan64, cfg64):
+    xyz, mask = syn.pad_scan(scan64, cfg64.n_raw)
+    rc, curv, ovf = jax.jit(register_scan, static_argnums=2)(
+        jnp.asarray(xyz), jnp.asarray(mask), cfg64)
+    feats = jax.jit(extract_features, static_argnums=2)(rc, curv, cfg64)
+    return jax.device_get((rc, curv, ovf, feats))
+
+
+@pytest.fixture(scope="module")
+def oracle_out(scan64, cfg64):
+    return orc.register_scan(scan64.astype(np.float32), 64,
+                             min_range=cfg64.minimum_range)
+
+
+def _ring_slot_of(oracle, r, i):
+    """Concatenated oracle index -> slot within ring r."""
+    return i - (oracle["start_ind"][r] - 5)
+
+
+def test_ring_bucketing_matches(jax_out, oracle_out):
+    rc, _, ovf, _ = jax_out
+    assert int(ovf) == 0
+    cnt_oracle = (oracle_out["end_ind"] + 6) - (oracle_out["start_ind"] - 5)
+    np.testing.assert_array_equal(np.asarray(rc.cnt), cnt_oracle)
+    # per-ring points match in order
+    full = oracle_out["full"]
+    pos = 0
+    for r in range(64):
+        n = cnt_oracle[r]
+        np.testing.assert_allclose(np.asarray(rc.xyz[r, :n]),
+                                   full[pos:pos + n, :3], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rc.intensity[r, :n]),
+                                   full[pos:pos + n, 3], atol=2e-4)
+        pos += n
+
+
+def test_curvature_matches(jax_out, oracle_out):
+    rc, curv, _, _ = jax_out
+    full = oracle_out["full"]
+    c_or = oracle_out["curvature"]
+    cnt = np.asarray(rc.cnt)
+    curv = np.asarray(curv)
+    pos = 0
+    sel = []
+    for r in range(64):
+        n = cnt[r]
+        if n >= 11:
+            # interior slots (5 .. n-6) match the concatenated stencil
+            sel.append((curv[r, 5:n - 5], c_or[pos + 5:pos + n - 5]))
+        pos += n
+    ours = np.concatenate([a for a, _ in sel])
+    ref = np.concatenate([b for _, b in sel])
+    # f32 stencil vs f64 oracle: relative + absolute tolerance
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def _sorted_rows(xyz, mask=None):
+    xyz = np.asarray(xyz, np.float64)[..., :3]
+    if mask is not None:
+        xyz = xyz[np.asarray(mask)]
+    return xyz[np.lexsort(xyz.T)]
+
+
+def test_feature_sets_match(jax_out, oracle_out):
+    _, _, _, feats = jax_out
+    for name, cloud in (("sharp", feats.sharp),
+                        ("less_sharp", feats.less_sharp),
+                        ("flat", feats.flat)):
+        ours = _sorted_rows(cloud.xyz, cloud.mask)
+        ref = _sorted_rows(oracle_out[name])
+        assert ours.shape == ref.shape, (
+            f"{name}: {ours.shape} vs {ref.shape}")
+        match = np.all(np.abs(ours - ref) < 1e-4, axis=1).mean()
+        assert match > 0.995, f"{name}: row match {match}"
+
+
+def test_less_flat_matches(jax_out, oracle_out):
+    _, _, _, feats = jax_out
+    ours = np.asarray(feats.less_flat.xyz)[np.asarray(feats.less_flat.mask)]
+    ref = oracle_out["less_flat"][:, :3]
+    assert abs(ours.shape[0] - ref.shape[0]) <= 0.005 * ref.shape[0]
+    # f32 vs f64 voxel-boundary points can split/merge voxels, which shifts
+    # positions within a ring — compare as multisets of cm-rounded rows
+    a = {tuple(r) for r in np.round(ours.astype(np.float64), 2).tolist()}
+    b = {tuple(r) for r in np.round(ref, 2).tolist()}
+    overlap = len(a & b) / max(len(b), 1)
+    assert overlap > 0.98, f"less_flat set overlap {overlap}"
+
+
+def test_voxel_downsample_exact_semantics(rng):
+    pts = rng.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    inten = rng.uniform(0, 60, size=(500,)).astype(np.float32)
+    mask = rng.uniform(size=500) > 0.2
+    vals = np.concatenate([pts, inten[:, None]], axis=1)
+    out, out_mask, dropped = voxel_downsample_masked(
+        jnp.asarray(vals), jnp.asarray(mask), 0.7, 512)
+    ref = orc.voxel_downsample(vals[mask].astype(np.float64), 0.7)
+    got = np.asarray(out)[np.asarray(out_mask)]
+    assert int(dropped) == 0
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_rel_times_match(scan64, cfg64, oracle_out):
+    """relTime encoded in intensity: full-cloud intensities already compared
+    in test_ring_bucketing_matches; here check the range contract."""
+    _, _ = scan64, cfg64
+    inten = oracle_out["full"][:, 3]
+    rel = inten - np.floor(inten + 1e-6)
+    assert rel.min() >= -1e-6 and rel.max() <= 0.1 + 1e-5
+
+
+def test_feature_counts_sane(jax_out):
+    _, _, _, feats = jax_out
+    n_sharp = int(np.asarray(feats.sharp.mask).sum())
+    n_flat = int(np.asarray(feats.flat.mask).sum())
+    n_ls = int(np.asarray(feats.less_sharp.mask).sum())
+    n_lf = int(np.asarray(feats.less_flat.mask).sum())
+    assert 100 < n_sharp <= 612
+    assert 500 < n_flat <= 1224
+    assert n_ls >= n_sharp
+    assert n_lf > 5000
+    # overflow counts *potentially* truncated regions (conservative: a
+    # region can be flagged even when every unvisited candidate was already
+    # NMS-suppressed, as the set-match tests prove here); allow a handful
+    assert int(np.asarray(feats.overflow)) <= 3
