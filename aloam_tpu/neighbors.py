@@ -1,0 +1,97 @@
+"""Nearest-neighbor search as blocked distance matmuls.
+
+TPU-native replacement for ``pcl::KdTreeFLANN`` (SURVEY.md §2.3): the
+reference rebuilds KD-trees every frame (``laserOdometry.cpp:567-568``,
+``laserMapping.cpp:558-559``) and runs 1-NN / 5-NN queries per point
+(``laserOdometry.cpp:302,390``, ``laserMapping.cpp:582,648``). Here there is
+no tree: squared distances ‖q‖² − 2·q·rᵀ + ‖r‖² ride the MXU as one (Q, M)
+matmul (or a streamed `lax.scan` over M-chunks with a running top-k merge
+when the full matrix would not fit), which is *exact*, like the KD-tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+def dist2_matrix(query: jnp.ndarray, ref: jnp.ndarray,
+                 ref_mask: jnp.ndarray | None = None,
+                 center: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Squared euclidean distances (Q, M); masked refs get +inf.
+
+    Distances are translation-invariant, so both sets are recentered on the
+    query mean before the matmul — together with full-f32 MXU precision this
+    keeps errors ~1e-4 m² even at 100 m coordinates (the TPU default bf16
+    matmul pass would otherwise corrupt the 1.0/25.0 m² gates of
+    laserOdometry.cpp:65 / laserMapping.cpp:584).
+    """
+    if center is None:
+        center = jnp.mean(query, axis=0)
+    q = query - center
+    r = ref - center
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    r2 = jnp.sum(r * r, axis=-1)
+    cross = jnp.matmul(q, r.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = q2 - 2.0 * cross + r2[None, :]
+    d2 = jnp.maximum(d2, 0.0)
+    if ref_mask is not None:
+        d2 = jnp.where(ref_mask[None, :], d2, _INF)
+    return d2
+
+
+def nn1(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray):
+    """1-NN: returns (d2 (Q,), idx (Q,))."""
+    d2 = dist2_matrix(query, ref, ref_mask)
+    idx = jnp.argmin(d2, axis=-1)
+    return jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0], \
+        idx.astype(jnp.int32)
+
+
+def knn_streamed(query: jnp.ndarray, ref: jnp.ndarray,
+                 ref_mask: jnp.ndarray, k: int, chunk: int = 8192):
+    """Exact k-NN with bounded memory: scan over M-chunks of the reference,
+    merging a running top-k. Returns (d2 (Q,k), idx (Q,k)), ascending.
+
+    Memory high-water: Q*(chunk+k) f32 — independent of M.
+    """
+    m = ref.shape[0]
+    if m % chunk != 0:
+        pad = chunk - m % chunk
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+        ref_mask = jnp.pad(ref_mask, (0, pad))
+        m += pad
+    n_chunks = m // chunk
+    q = query.shape[0]
+
+    def body(carry, i):
+        best_d, best_i = carry
+        r = jax.lax.dynamic_slice(ref, (i * chunk, 0), (chunk, 3))
+        rm = jax.lax.dynamic_slice(ref_mask, (i * chunk,), (chunk,))
+        d2 = dist2_matrix(query, r, rm)
+        cand_d = jnp.concatenate([best_d, d2], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(
+                (i * chunk + jnp.arange(chunk, dtype=jnp.int32))[None, :],
+                (q, chunk))], axis=1)
+        neg_top, pos = jax.lax.top_k(-cand_d, k)
+        return (-neg_top, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+    init = (jnp.full((q, k), _INF), jnp.zeros((q, k), jnp.int32))
+    (d2, idx), _ = jax.lax.scan(body, init,
+                                jnp.arange(n_chunks, dtype=jnp.int32))
+    return d2, idx
+
+
+def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
+        k: int, chunk: int = 8192):
+    """k-NN dispatcher: single matmul when (Q, M) fits comfortably,
+    streamed otherwise."""
+    q, m = query.shape[0], ref.shape[0]
+    if q * m <= 32 * 1024 * 1024:  # 128 MB of f32 scores
+        d2 = dist2_matrix(query, ref, ref_mask)
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return -neg_top, idx.astype(jnp.int32)
+    return knn_streamed(query, ref, ref_mask, k, chunk)

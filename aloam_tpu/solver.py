@@ -1,0 +1,187 @@
+"""Batched Levenberg-Marquardt on SE(3) with analytic LOAM Jacobians.
+
+TPU-native replacement for Ceres (SURVEY.md §2.3): the reference solves each
+stage with ``AutoDiffCostFunction`` + Huber(0.1) + DENSE_QR + an
+``EigenQuaternionParameterization`` (``laserOdometry.cpp:284-291,493-499``,
+``laserMapping.cpp:564-572,712-721``). Here the three residual families of
+``lidarFactor.hpp`` carry hand-derived Jacobians, factors are fixed-capacity
+masked batches, the robust loss enters as block-wise IRLS weights, and each
+iteration reduces to one 6×6 damped normal-equation solve — all inside jit.
+
+Local parameterization: 6-dof tangent ``[dtheta, dt]`` applied as
+``q' = exp(dtheta) ⊗ q``, ``t' = t + dt`` (matching the reference's
+left-multiplied quaternion perturbation).
+
+All factors assume the undistorted ``s = 1`` path, the only one the
+reference exercises (``DISTORTION 0``, laserOdometry.cpp:59; mapping always
+passes 1.0, laserMapping.cpp:618).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from aloam_tpu import geometry as geo
+
+
+class EdgeFactors(NamedTuple):
+    """Point-to-line (LidarEdgeFactor, lidarFactor.hpp:12-55): residual
+    (3,) = (u−a)×(u−b)/‖a−b‖ with u = q·p + t."""
+    p: jnp.ndarray      # (N, 3) current points
+    a: jnp.ndarray      # (N, 3) line point a (last frame / map)
+    b: jnp.ndarray      # (N, 3) line point b
+    mask: jnp.ndarray   # (N,)
+
+
+class PlaneFactors(NamedTuple):
+    """Point-to-plane (LidarPlaneFactor / LidarPlaneNormFactor,
+    lidarFactor.hpp:57-138): residual (1,) = n·(q·p + t) + d."""
+    p: jnp.ndarray      # (N, 3)
+    n: jnp.ndarray      # (N, 3) unit normal
+    d: jnp.ndarray      # (N,)
+    mask: jnp.ndarray   # (N,)
+
+
+class PointFactors(NamedTuple):
+    """Point-to-point (LidarDistanceFactor, lidarFactor.hpp:141-172):
+    residual (3,) = q·p + t − target. Defined for completeness — the
+    reference only references it from commented-out code
+    (laserMapping.cpp:623-639)."""
+    p: jnp.ndarray
+    target: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def edge_residuals(f: EdgeFactors, q, t):
+    """Residual (N,3) and Jacobian (N,3,6) of the edge factor at (q, t)."""
+    u = geo.qrot(q, f.p) + t
+    dv = f.a - f.b
+    inv_norm = 1.0 / jnp.maximum(jnp.linalg.norm(dv, axis=-1, keepdims=True),
+                                 1e-12)
+    r = jnp.cross(u - f.a, u - f.b) * inv_norm
+    # dr/du = -[d]x / ||d||  (r = (u×d + a×b)/||d||)
+    j_u = -geo.skew(dv) * inv_norm[..., None]
+    rp = u - t  # = R p
+    # J_theta = J_u @ (-[Rp]x) = ([d]x [Rp]x)/||d|| = (rp d^T - (d.rp) I)/||d||
+    # (closed form: avoids a 3x3 matmul that TPUs would run at bf16 precision)
+    eye = jnp.eye(3, dtype=u.dtype)
+    j_theta = (rp[:, :, None] * dv[:, None, :]
+               - jnp.sum(dv * rp, axis=-1)[:, None, None] * eye) \
+        * inv_norm[..., None]
+    jac = jnp.concatenate([j_theta, j_u], axis=-1)  # (N, 3, 6)
+    return r, jac
+
+
+def plane_residuals(f: PlaneFactors, q, t):
+    """Residual (N,1) and Jacobian (N,1,6) of the plane factor."""
+    u = geo.qrot(q, f.p) + t
+    r = (jnp.sum(f.n * u, axis=-1) + f.d)[:, None]
+    rp = u - t
+    # d r / d theta = -n^T [Rp]x = (Rp × n)^T
+    j_theta = jnp.cross(rp, f.n)
+    jac = jnp.concatenate([j_theta, f.n], axis=-1)[:, None, :]
+    return r, jac
+
+
+def point_residuals(f: PointFactors, q, t):
+    u = geo.qrot(q, f.p) + t
+    r = u - f.target
+    rp = u - t
+    j_theta = -geo.skew(rp)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=u.dtype), j_theta.shape)
+    jac = jnp.concatenate([j_theta, eye], axis=-1)
+    return r, jac
+
+
+_RESIDUAL_FNS = {
+    EdgeFactors: edge_residuals,
+    PlaneFactors: plane_residuals,
+    PointFactors: point_residuals,
+}
+
+
+def huber_weight(s: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight rho'(s) for Huber on the squared block norm s = ‖r‖²:
+    rho(s) = s for s ≤ δ², else 2δ√s − δ² (Ceres HuberLoss convention)."""
+    d2 = delta * delta
+    return jnp.where(s <= d2, 1.0, delta / jnp.sqrt(jnp.maximum(s, 1e-20)))
+
+
+def huber_cost(s: jnp.ndarray, delta: float) -> jnp.ndarray:
+    d2 = delta * delta
+    return jnp.where(s <= d2, s, 2.0 * delta * jnp.sqrt(
+        jnp.maximum(s, 1e-20)) - d2)
+
+
+def _accumulate(factors: Sequence, q, t, delta: float):
+    """Robust-weighted normal equations H (6,6), g (6,), cost, n_active."""
+    h = jnp.zeros((6, 6), jnp.float32)
+    g = jnp.zeros((6,), jnp.float32)
+    cost = jnp.float32(0.0)
+    n_active = jnp.int32(0)
+    for f in factors:
+        r, jac = _RESIDUAL_FNS[type(f)](f, q, t)
+        m = f.mask.astype(jnp.float32)
+        s = jnp.sum(r * r, axis=-1)
+        w = huber_weight(s, delta) * m
+        # full-f32 accumulation: TPU einsum defaults to bf16 passes, which
+        # is far too coarse for 6x6 normal equations
+        hi = jax.lax.Precision.HIGHEST
+        jw = jac * w[:, None, None]
+        h = h + jnp.einsum("nbi,nbj->ij", jw, jac, precision=hi)
+        g = g + jnp.einsum("nbi,nb->i", jw, r, precision=hi)
+        cost = cost + 0.5 * jnp.sum(huber_cost(s, delta) * m)
+        n_active = n_active + jnp.sum(f.mask)
+    return h, g, cost, n_active
+
+
+def _cost_only(factors: Sequence, q, t, delta: float):
+    cost = jnp.float32(0.0)
+    for f in factors:
+        r, _ = _RESIDUAL_FNS[type(f)](f, q, t)
+        s = jnp.sum(r * r, axis=-1)
+        cost = cost + 0.5 * jnp.sum(huber_cost(s, delta)
+                                    * f.mask.astype(jnp.float32))
+    return cost
+
+
+class SolveStats(NamedTuple):
+    cost0: jnp.ndarray
+    cost: jnp.ndarray
+    n_factors: jnp.ndarray
+
+
+def lm_solve(factors: Sequence, q0, t0, n_iters: int,
+             huber_delta: float = 0.1, lambda0: float = 1e-4):
+    """Fixed-iteration Levenberg-Marquardt over the given factor batches.
+
+    Mirrors the reference's per-round schedule (max 4 iterations of Ceres LM,
+    laserOdometry.cpp:496). Accept/reject with multiplicative damping; a step
+    that increases the robust cost is rolled back and λ grows. With zero
+    active factors the gradient is zero and the pose is returned unchanged
+    (like Ceres on an empty problem).
+    """
+
+    def body(_, st):
+        q, t, lam, _ = st
+        h, g, cost, _ = _accumulate(factors, q, t, huber_delta)
+        # Marquardt damping on the diagonal + floor for empty problems
+        diag = jnp.diag(jnp.diagonal(h)) + 1e-8 * jnp.eye(6)
+        delta = jnp.linalg.solve(h + lam * diag, -g)
+        q_new = geo.retract(q, delta[:3])
+        t_new = t + delta[3:]
+        cost_new = _cost_only(factors, q_new, t_new, huber_delta)
+        accept = cost_new < cost
+        q = jnp.where(accept, q_new, q)
+        t = jnp.where(accept, t_new, t)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                        jnp.minimum(lam * 10.0, 1e4))
+        return q, t, lam, jnp.where(accept, cost_new, cost)
+
+    _, _, cost0, n_factors = _accumulate(factors, q0, t0, huber_delta)
+    q, t, _, cost = jax.lax.fori_loop(
+        0, n_iters, body, (q0, t0, jnp.float32(lambda0), cost0))
+    return q, t, SolveStats(cost0=cost0, cost=cost, n_factors=n_factors)

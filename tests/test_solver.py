@@ -1,0 +1,162 @@
+"""Solver tests: analytic Jacobians vs autodiff, pose recovery, robustness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aloam_tpu import geometry as geo
+from aloam_tpu import solver
+
+
+def _rand_pose(rng, scale_r=0.5, scale_t=1.0):
+    q = geo.exp_so3(jnp.asarray(rng.normal(size=3) * scale_r))
+    t = jnp.asarray(rng.normal(size=3) * scale_t, jnp.float32)
+    return q, t
+
+
+def _tangent_jacfwd(res_fn, q, t):
+    """Autodiff Jacobian of res through the retraction, at delta = 0."""
+    def at(delta):
+        dq = delta[:3]
+        dt = delta[3:]
+        return res_fn(geo.retract(q, dq), t + dt)
+    return jax.jacfwd(at)(jnp.zeros(6))
+
+
+def test_edge_jacobian_matches_autodiff(rng):
+    q, t = _rand_pose(rng)
+    f = solver.EdgeFactors(
+        p=jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        a=jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        b=jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        mask=jnp.ones(5, bool))
+    r, jac = solver.edge_residuals(f, q, t)
+    jac_ad = _tangent_jacfwd(lambda qq, tt: solver.edge_residuals(
+        f, qq, tt)[0], q, t)
+    np.testing.assert_allclose(np.asarray(jac),
+                               np.asarray(jac_ad), atol=1e-4)
+
+
+def test_plane_jacobian_matches_autodiff(rng):
+    q, t = _rand_pose(rng)
+    n = rng.normal(size=(5, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    f = solver.PlaneFactors(
+        p=jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        n=jnp.asarray(n, jnp.float32),
+        d=jnp.asarray(rng.normal(size=5), jnp.float32),
+        mask=jnp.ones(5, bool))
+    _, jac = solver.plane_residuals(f, q, t)
+    jac_ad = _tangent_jacfwd(lambda qq, tt: solver.plane_residuals(
+        f, qq, tt)[0], q, t)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                               atol=1e-4)
+
+
+def test_point_jacobian_matches_autodiff(rng):
+    q, t = _rand_pose(rng)
+    f = solver.PointFactors(
+        p=jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        target=jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        mask=jnp.ones(5, bool))
+    _, jac = solver.point_residuals(f, q, t)
+    jac_ad = _tangent_jacfwd(lambda qq, tt: solver.point_residuals(
+        f, qq, tt)[0], q, t)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                               atol=1e-4)
+
+
+def _make_world_factors(rng, q_gt, t_gt, n_edge=60, n_plane=120,
+                        noise=0.0):
+    """Factors whose residuals vanish at (q_gt, t_gt)."""
+    # edges: vertical-ish lines; sample p so that q_gt p + t_gt lies on line
+    a = rng.normal(size=(n_edge, 3)) * 5
+    dirs = rng.normal(size=(n_edge, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    b = a + dirs
+    lam = rng.uniform(-1, 1, size=(n_edge, 1))
+    on_line = a + lam * dirs + rng.normal(size=(n_edge, 3)) * noise
+    p_edge = geo.qrot_inv(q_gt, jnp.asarray(on_line, jnp.float32)
+                          - t_gt)
+    edges = solver.EdgeFactors(p=p_edge, a=jnp.asarray(a, jnp.float32),
+                               b=jnp.asarray(b, jnp.float32),
+                               mask=jnp.ones(n_edge, bool))
+    # planes
+    n = rng.normal(size=(n_plane, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    d = rng.uniform(-5, 5, size=n_plane)
+    # point on plane: x with n·x + d = 0
+    x0 = -d[:, None] * n
+    tang = np.cross(n, rng.normal(size=(n_plane, 3)))
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    on_plane = x0 + tang * rng.uniform(-3, 3, size=(n_plane, 1)) \
+        + n * rng.normal(size=(n_plane, 1)) * noise
+    p_plane = geo.qrot_inv(q_gt, jnp.asarray(on_plane, jnp.float32) - t_gt)
+    planes = solver.PlaneFactors(p=p_plane, n=jnp.asarray(n, jnp.float32),
+                                 d=jnp.asarray(d, jnp.float32),
+                                 mask=jnp.ones(n_plane, bool))
+    return edges, planes
+
+
+def test_lm_recovers_pose(rng):
+    q_gt, t_gt = _rand_pose(rng, scale_r=0.2, scale_t=0.5)
+    edges, planes = _make_world_factors(rng, q_gt, t_gt)
+    q0 = geo.qidentity()
+    t0 = jnp.zeros(3)
+    q, t, stats = jax.jit(solver.lm_solve, static_argnums=(3,))(
+        (edges, planes), q0, t0, 12)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=2e-3)
+    dq = geo.qmul(geo.qconj(q_gt), q)
+    assert abs(float(dq[0])) > 1 - 1e-5
+    assert float(stats.cost) < float(stats.cost0) * 1e-3
+
+
+def test_lm_robust_to_outliers(rng):
+    q_gt, t_gt = _rand_pose(rng, scale_r=0.1, scale_t=0.3)
+    edges, planes = _make_world_factors(rng, q_gt, t_gt, noise=0.005)
+    # corrupt 15% of plane offsets heavily
+    d = np.asarray(planes.d).copy()
+    n_bad = int(0.15 * d.size)
+    d[:n_bad] += rng.uniform(2, 5, size=n_bad)
+    planes = planes._replace(d=jnp.asarray(d))
+    q, t, _ = solver.lm_solve((edges, planes), geo.qidentity(),
+                              jnp.zeros(3), 12)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=3e-2)
+
+
+def test_lm_empty_problem_is_identity(rng):
+    edges = solver.EdgeFactors(p=jnp.zeros((8, 3)), a=jnp.zeros((8, 3)),
+                               b=jnp.ones((8, 3)), mask=jnp.zeros(8, bool))
+    q0, t0 = _rand_pose(rng)
+    q, t, stats = solver.lm_solve((edges,), q0, t0, 4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t0), atol=1e-6)
+    assert int(stats.n_factors) == 0
+
+
+def test_huber_matches_ceres_convention():
+    delta = 0.1
+    s = jnp.asarray([0.0, 0.005, 0.01, 0.04, 1.0])
+    c = np.asarray(solver.huber_cost(s, delta))
+    w = np.asarray(solver.huber_weight(s, delta))
+    # inside: rho(s) = s ; outside: 2 delta sqrt(s) - delta^2
+    np.testing.assert_allclose(c[:3], [0.0, 0.005, 0.01], atol=1e-8)
+    np.testing.assert_allclose(c[3], 2 * 0.1 * 0.2 - 0.01, atol=1e-7)
+    np.testing.assert_allclose(w[3], 0.1 / 0.2, atol=1e-7)
+    np.testing.assert_allclose(w[4], 0.1, atol=1e-7)
+
+
+def test_masked_factors_do_not_contribute(rng):
+    q_gt, t_gt = _rand_pose(rng, 0.1, 0.3)
+    edges, planes = _make_world_factors(rng, q_gt, t_gt)
+    # append garbage factors with mask off
+    bad = solver.PlaneFactors(p=jnp.asarray(rng.normal(size=(30, 3)) * 50,
+                                            jnp.float32),
+                              n=planes.n[:30], d=planes.d[:30] + 100.0,
+                              mask=jnp.zeros(30, bool))
+    q1, t1, _ = solver.lm_solve((edges, planes), geo.qidentity(),
+                                jnp.zeros(3), 8)
+    q2, t2, _ = solver.lm_solve((edges, planes, bad), geo.qidentity(),
+                                jnp.zeros(3), 8)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
