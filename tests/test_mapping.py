@@ -1,0 +1,161 @@
+"""Mapping-stage unit tests: cube addressing, insert/gather/reclaim,
+PCA line fit, LSQ plane fit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aloam_tpu import geometry as geo
+from aloam_tpu import mapping, solver
+from aloam_tpu.config import AloamConfig
+from aloam_tpu.types import PointCloud
+
+
+CFG = AloamConfig(n_raw=1024, ring_cap=256, less_flat_cap=1024,
+                  cube_corner_cap=128, cube_surf_cap=128,
+                  corner_stack_cap=256, surf_stack_cap=256)
+
+
+def test_world_cube_matches_reference_formula():
+    # int((x+25)/50) with decrement when x+25 < 0  (laserMapping.cpp:312-321)
+    xs = np.array([0.0, 24.9, 25.1, -24.9, -25.1, -75.0, 100.0, -100.0])
+    ref = []
+    for x in xs:
+        i = int((x + 25.0) / 50.0)
+        if x + 25.0 < 0:
+            i -= 1
+        ref.append(i)
+    got = mapping.world_cube(
+        jnp.stack([jnp.asarray(xs, jnp.float32)] * 3, axis=-1), CFG)
+    np.testing.assert_array_equal(np.asarray(got[:, 0]), ref)
+
+
+def test_cube_slot_unique_within_window():
+    # all cubes in a 21x21x11 window map to distinct slots
+    w = np.stack(np.meshgrid(np.arange(-10, 11), np.arange(-10, 11),
+                             np.arange(-5, 6), indexing="ij"),
+                 axis=-1).reshape(-1, 3)
+    slots = np.asarray(mapping.cube_slot(jnp.asarray(w, jnp.int32), CFG))
+    assert len(np.unique(slots)) == CFG.n_cubes
+
+
+def _pc(xyz, cap):
+    n = xyz.shape[0]
+    out = np.zeros((cap, 3), np.float32)
+    out[:n] = xyz
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return PointCloud(xyz=jnp.asarray(out),
+                      intensity=jnp.zeros(cap, jnp.float32),
+                      mask=jnp.asarray(mask))
+
+
+def test_insert_gather_roundtrip(rng):
+    state = mapping.init_state(CFG)
+    pts = rng.uniform(-40, 40, size=(100, 3)).astype(np.float32)
+    corner = _pc(pts, CFG.corner_stack_cap)
+    surf = _pc(pts + 0.05, CFG.surf_stack_cap)
+    state2, metrics = mapping.mapping_step(
+        state, corner, surf, geo.qidentity(), jnp.zeros(3), CFG)
+    # all inserted points must be gatherable around the origin
+    (c_xyz, c_mask), (s_xyz, s_mask), _, _ = mapping._gather_local_map(
+        state2, mapping.world_cube(jnp.zeros(3), CFG), CFG)
+    got = np.asarray(c_xyz)[np.asarray(c_mask)]
+    # identity pose, voxel downsample(0.4) of 100 well-separated points
+    assert got.shape[0] > 90
+    d = np.abs(got[:, None] - pts[None]).sum(-1).min(1)
+    assert d.max() < 0.4  # voxel centroids stay within a leaf
+
+
+def test_reclaim_clears_both_classes(rng):
+    state = mapping.init_state(CFG)
+    pts_a = rng.uniform(-10, 10, size=(50, 3)).astype(np.float32)
+    corner = _pc(pts_a, CFG.corner_stack_cap)
+    surf = _pc(pts_a, CFG.surf_stack_cap)
+    state, _ = mapping.mapping_step(state, corner, surf, geo.qidentity(),
+                                    jnp.zeros(3), CFG)
+    assert int(state.corner_cnt.sum()) > 0
+
+    # the sensor moves exactly one full window in x -> same toroidal slots;
+    # inputs are sensor-frame, so reuse pts_a with the shifted odom pose
+    shift = CFG.cube_width * CFG.cube_size
+    t_odom = jnp.asarray([shift, 0.0, 0.0], jnp.float32)
+    state, _ = mapping.mapping_step(state, corner, surf,
+                                    geo.qidentity(), t_odom, CFG)
+
+    # gather around the new location: only shifted points, no stale A points
+    (c_xyz, c_mask), (s_xyz, s_mask), _, _ = mapping._gather_local_map(
+        state, mapping.world_cube(t_odom, CFG), CFG)
+    got = np.asarray(c_xyz)[np.asarray(c_mask)]
+    assert got.shape[0] > 0
+    assert got[:, 0].min() > shift - 60  # nothing from the old window
+    got_s = np.asarray(s_xyz)[np.asarray(s_mask)]
+    assert got_s[:, 0].min() > shift - 60
+
+
+def test_corner_association_finds_line(rng):
+    # map: a dense vertical line at (1, 2); query point near it
+    zline = np.linspace(0, 3, 40).astype(np.float32)
+    map_pts = np.stack([np.full(40, 1.0), np.full(40, 2.0), zline], -1)
+    map_pts += rng.normal(scale=0.01, size=map_pts.shape).astype(np.float32)
+    q_pts = np.array([[1.02, 2.01, 1.5]], np.float32)
+    f = mapping.corner_associations(
+        jnp.asarray(q_pts), jnp.ones(1, bool), jnp.asarray(map_pts),
+        jnp.ones(40, bool), geo.qidentity(), jnp.zeros(3), CFG)
+    assert bool(f.mask[0])
+    direction = np.asarray(f.a[0] - f.b[0])
+    direction = direction / np.linalg.norm(direction)
+    assert abs(direction[2]) > 0.99  # vertical
+
+
+def test_surf_association_finds_plane(rng):
+    # map: the plane z = 0.5 sampled densely
+    g = np.stack(np.meshgrid(np.linspace(-1, 1, 10), np.linspace(-1, 1, 10),
+                             indexing="ij"), -1).reshape(-1, 2)
+    map_pts = np.concatenate([g, np.full((100, 1), 0.5)],
+                             -1).astype(np.float32)
+    q_pts = np.array([[0.1, -0.2, 0.52]], np.float32)
+    f = mapping.surf_associations(
+        jnp.asarray(q_pts), jnp.ones(1, bool), jnp.asarray(map_pts),
+        jnp.ones(100, bool), geo.qidentity(), jnp.zeros(3), CFG)
+    assert bool(f.mask[0])
+    n = np.asarray(f.n[0])
+    assert abs(n[2]) > 0.999
+    # residual at the query = distance to plane = 0.02
+    r, _ = solver.plane_residuals(f, geo.qidentity(), jnp.zeros(3))
+    np.testing.assert_allclose(abs(float(r[0, 0])), 0.02, atol=2e-3)
+
+
+def test_plane_fit_matches_lstsq(rng):
+    """The 3x3 normal-equation plane fit equals colPivHouseholderQr-style
+    least squares (laserMapping.cpp:663)."""
+    for _ in range(20):
+        near = rng.uniform(-1, 1, size=(5, 3))
+        near[:, 2] = 0.3 * near[:, 0] - 0.2 * near[:, 1] + 1.0 \
+            + rng.normal(scale=0.02, size=5)
+        n_ref, *_ = np.linalg.lstsq(near, -np.ones(5), rcond=None)
+        f = mapping.surf_associations(
+            jnp.asarray(near[:1], jnp.float32), jnp.ones(1, bool),
+            jnp.asarray(near, jnp.float32), jnp.ones(5, bool),
+            geo.qidentity(), jnp.zeros(3), CFG)
+        n_hat_ref = n_ref / np.linalg.norm(n_ref)
+        dot = abs(float(np.dot(np.asarray(f.n[0]), n_hat_ref)))
+        assert dot > 1 - 1e-4
+
+
+def test_no_solve_below_map_minimums(rng):
+    """With a nearly-empty map the pose must remain the initial guess
+    (laserMapping.cpp:554,730-733)."""
+    state = mapping.init_state(CFG)
+    pts = rng.uniform(-5, 5, size=(8, 3)).astype(np.float32)
+    corner = _pc(pts, CFG.corner_stack_cap)
+    surf = _pc(pts, CFG.surf_stack_cap)
+    q_odom = geo.exp_so3(jnp.asarray([0.0, 0.0, 0.3]))
+    t_odom = jnp.asarray([1.0, 2.0, 0.1])
+    state2, metrics = mapping.mapping_step(state, corner, surf, q_odom,
+                                           t_odom, CFG)
+    assert not bool(metrics.solved)
+    np.testing.assert_allclose(np.asarray(state2.t_w), np.asarray(t_odom),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.q_w), np.asarray(q_odom),
+                               atol=1e-6)
