@@ -72,8 +72,6 @@ class AloamConfig:
     n_raw: int = 131072                 # raw input points per scan (padded)
     ring_cap: int = 2560                # max points per ring after bucketing
     less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
-    sharp_iters: int = 64               # greedy corner-pass loop bound / region
-    flat_iters: int = 32                # greedy flat-pass loop bound / region
     cube_corner_cap: int = 1024         # corner points per map cube
     cube_surf_cap: int = 2048           # surf points per map cube
     corner_stack_cap: int = 4096        # downsampled input corner stack

@@ -1,26 +1,25 @@
 """Feature selection: sharp/flat picking with greedy NMS (component C5).
 
-Re-design of ``scanRegistration.cpp:277-408``. The reference's semantics are
-inherently sequential *within* a (ring, region): candidates are visited in
-curvature order and each pick suppresses up to ±5 ring neighbours, stopping
-the suppression at a >0.05 m² point gap; suppression marks also leak ±5 slots
-across region boundaries, and the flat pass of a region sees the marks of its
-own sharp pass. We keep exactly those semantics:
+Re-design of ``scanRegistration.cpp:277-408``. The reference sorts each
+(ring, region) window by curvature, then walks the sorted list, picking
+unsuppressed candidates and NMS-marking ±5 ring neighbours per pick
+(gap-stopped at >0.05 m², :319-342). Since suppression only ever grows,
+walking the sorted order while skipping suppressed points is *exactly*
+equivalent to repeatedly selecting the extremum of the still-eligible
+curvature — so this implementation needs no sort at all: each pick is one
+masked argmax/argmin over the ring (VPU-friendly), for at most 20 corner +
+4 flat picks per region (:301,:307,:359).
 
-* rings are fully parallel (`vmap` over the ring axis),
-* the 6 regions of a ring run sequentially (statically unrolled),
-* each region runs a bounded `fori_loop` over its curvature-sorted
-  candidates — descending for corners (≤2 sharp + ≤20 less-sharp picks,
-  :291-344), ascending for flats (≤4 picks, :346-390).
+Parallel structure: rings vmap; the 6 regions of a ring run sequentially
+because suppression marks leak up to 5 slots across region boundaries and
+the flat pass must see its own region's corner marks.
 
-The loop bounds (`cfg.sharp_iters` / `cfg.flat_iters`) truncate only the
-number of *visited* candidates per region; the reference visits every region
-point but, outside adversarial inputs, terminates via its pick-count breaks
-long before that. Truncation is surfaced in the returned diagnostics.
+Quirks preserved: pick counts/labels (2 sharp / 20 less-sharp / 4 flat);
+the 4th flat pick is labeled and emitted but marks neither itself nor its
+neighbours (:358-362 — `break` precedes the suppression block).
 
-Quirks preserved: the 21st corner candidate stops the pass without labeling
-(:313-315); the 4th flat pick is labeled and emitted but marks neither itself
-nor its neighbours (:358-362 — `break` precedes the suppression block).
+Tie-breaking (unspecified in the reference — std::sort is unstable): corner
+picks take the lowest index among equal curvatures, flat picks likewise.
 """
 
 from __future__ import annotations
@@ -51,10 +50,8 @@ def _region_bounds(cnt: jnp.ndarray, n_regions: int):
 
 def _nms_window(pts: jnp.ndarray, picked: jnp.ndarray, cand: jnp.ndarray,
                 do: jnp.ndarray, gap_sq: float):
-    """Gap-stopped ±5 suppression around `cand` (scanRegistration.cpp:319-342).
-
-    Returns updated `picked`. All effects are no-ops when `do` is False.
-    """
+    """Gap-stopped ±5 suppression around `cand` (scanRegistration.cpp:319-342)
+    including the self-mark. All effects are no-ops when `do` is False."""
     start = cand - 5
     win = jax.lax.dynamic_slice(pts, (start, jnp.int32(0)), (11, 3))
     d = win[1:] - win[:-1]
@@ -69,104 +66,68 @@ def _nms_window(pts: jnp.ndarray, picked: jnp.ndarray, cand: jnp.ndarray,
 
 
 def _select_ring(pts, curv, cnt, cfg: AloamConfig):
-    """Greedy selection for one ring. Returns (label, picked, truncated).
+    """Greedy selection for one ring. Returns (label, picked, in_region).
 
     label: 2 sharp, 1 less-sharp, -1 flat, 0 other (cloudLabel semantics).
     """
     c = pts.shape[0]
     sp, ep, size, ring_ok = _region_bounds(cnt, cfg.n_regions)
 
-    # region id per slot (7 = not in any region); regions are contiguous
     idx = jnp.arange(c, dtype=jnp.int32)
     in_any = ring_ok & (idx >= 5) & (idx <= ep[-1]) & (idx < cnt)
-    region = jnp.sum(idx[:, None] > ep[None, :], axis=1).astype(jnp.int32)
-    region = jnp.where(in_any, region, 7)
-
-    # stable two-pass sort: ascending curvature, ties by index, grouped by
-    # region (mirrors the oracle's (curv, index) key; the reference's
-    # std::sort is unstable on ties — scanRegistration.cpp:288)
-    o1 = jnp.argsort(jnp.where(in_any, curv, _INF), stable=True)
-    order = o1[jnp.argsort(region[o1], stable=True)]
-    run_start = sp - 5  # in-region slots before region j (contiguity)
 
     picked = jnp.zeros((c,), bool)
     label = jnp.zeros((c,), jnp.int8)
-    truncated = jnp.int32(0)
 
-    # per-region candidate counts, for truncation detection: the corner pass
-    # is exact iff every curv>thr candidate is visited; the flat pass iff it
-    # either stops at 4 picks or visits every curv<thr candidate
-    onehot = region[:, None] == jnp.arange(cfg.n_regions)[None, :]
-    n_above = jnp.sum(onehot & (curv > cfg.curvature_threshold)[:, None],
-                      axis=0)
-    n_below = jnp.sum(onehot & (curv < cfg.curvature_threshold)[:, None],
-                      axis=0)
+    def region_body(j, st):
+        picked, label = st
+        window = (idx >= sp[j]) & (idx <= ep[j]) & (size[j] > 0)
 
-    for j in range(cfg.n_regions):
-        rs, sz = run_start[j], size[j]
+        # --- corner picks: descending curvature (:291-344) --------------
+        def corner_body(t, cst):
+            picked, label = cst
+            score = jnp.where(window & ~picked
+                              & (curv > cfg.curvature_threshold), curv, -_INF)
+            cand = jnp.argmax(score).astype(jnp.int32)
+            ok = score[cand] > -_INF
+            lbl = jnp.where(t < cfg.max_sharp, 2, 1).astype(jnp.int8)
+            label = label.at[cand].set(jnp.where(ok, lbl, label[cand]))
+            picked = _nms_window(pts, picked, cand, ok, cfg.nms_gap_sq)
+            return picked, label
 
-        # --- descending pass: corners (scanRegistration.cpp:291-344) ----
-        def corner_body(t, st):
-            picked, label, largest, stopped = st
-            ok_t = t < sz
-            pos = jnp.clip(rs + sz - 1 - t, 0, c - 1)
-            cand = order[pos]
-            is_cand = (ok_t & ~stopped & ~picked[cand]
-                       & (curv[cand] > cfg.curvature_threshold))
-            largest_new = largest + is_cand.astype(jnp.int32)
-            do = is_cand & (largest_new <= cfg.max_less_sharp)
-            stopped = stopped | (is_cand & ~do)
-            lbl = jnp.where(largest_new <= cfg.max_sharp, 2, 1).astype(
-                jnp.int8)
-            label = label.at[cand].set(jnp.where(do, lbl, label[cand]))
-            picked = _nms_window(pts, picked, cand, do, cfg.nms_gap_sq)
-            return picked, label, jnp.where(is_cand, largest_new, largest), \
-                stopped
+        picked, label = jax.lax.fori_loop(0, cfg.max_less_sharp,
+                                          corner_body, (picked, label))
 
-        picked, label, n_corner, c_stop = jax.lax.fori_loop(
-            0, cfg.sharp_iters, corner_body,
-            (picked, label, jnp.int32(0), jnp.asarray(False)))
-        # truncation: some curv>thr candidate was never visited
-        truncated += ((~c_stop)
-                      & (n_above[j] > cfg.sharp_iters)).astype(jnp.int32)
-
-        # --- ascending pass: flats (scanRegistration.cpp:346-390) -------
-        def flat_body(t, st):
-            picked, label, smallest, stopped = st
-            ok_t = t < sz
-            pos = jnp.clip(rs + t, 0, c - 1)
-            cand = order[pos]
-            is_cand = (ok_t & ~stopped & ~picked[cand]
-                       & (curv[cand] < cfg.curvature_threshold))
-            smallest_new = smallest + is_cand.astype(jnp.int32)
+        # --- flat picks: ascending curvature (:346-390) ------------------
+        def flat_body(t, cst):
+            picked, label = cst
+            score = jnp.where(window & ~picked
+                              & (curv < cfg.curvature_threshold), curv, _INF)
+            cand = jnp.argmin(score).astype(jnp.int32)
+            ok = score[cand] < _INF
             label = label.at[cand].set(
-                jnp.where(is_cand, jnp.int8(-1), label[cand]))
-            is_break = is_cand & (smallest_new >= cfg.max_flat)
-            do = is_cand & ~is_break  # 4th pick: label only, no suppression
-            picked = _nms_window(pts, picked, cand, do, cfg.nms_gap_sq)
-            return picked, label, \
-                jnp.where(is_cand, smallest_new, smallest), \
-                stopped | is_break
+                jnp.where(ok, jnp.int8(-1), label[cand]))
+            # 4th pick: label only, no suppression (:358-362)
+            do_mark = ok & (t < cfg.max_flat - 1)
+            picked = _nms_window(pts, picked, cand, do_mark, cfg.nms_gap_sq)
+            return picked, label
 
-        picked, label, n_flat, f_stop = jax.lax.fori_loop(
-            0, cfg.flat_iters, flat_body,
-            (picked, label, jnp.int32(0), jnp.asarray(False)))
-        truncated += ((~f_stop) & (sz > cfg.flat_iters)
-                      & (n_below[j] > cfg.flat_iters)).astype(jnp.int32)
+        picked, label = jax.lax.fori_loop(0, cfg.max_flat,
+                                          flat_body, (picked, label))
+        return picked, label
 
-    in_region = in_any  # slots harvested for less-flat (:392-398)
-    return label, picked, in_region, truncated
+    picked, label = jax.lax.fori_loop(0, cfg.n_regions, region_body,
+                                      (picked, label))
+    return label, picked, in_any
 
 
 def extract_features(rc: RingCloud, curv: jnp.ndarray,
                      cfg: AloamConfig) -> ScanFeatures:
     """C5 + C6: run selection on every ring, voxel-downsample the less-flat
     candidates per ring (0.2 m leaf, :401-407), and pack the five clouds."""
-    label, picked, in_region, truncated = jax.vmap(
+    label, picked, in_region = jax.vmap(
         lambda p, cv, n: _select_ring(p, cv, n, cfg)
     )(rc.xyz, curv, rc.cnt)
-
-    overflow = jnp.sum(truncated)
 
     def cloud(mask, cap):
         xyz, inten, m, dropped = compact_cloud(
@@ -189,7 +150,7 @@ def extract_features(rc: RingCloud, curv: jnp.ndarray,
         rc.xyz.reshape(-1, 3), rc.intensity.reshape(-1),
         rc.slot_mask().reshape(-1), rc.xyz.shape[0] * rc.xyz.shape[1])
 
-    overflow = overflow + d1 + d2 + d3 + d4 + d5 + d6
+    overflow = d1 + d2 + d3 + d4 + d5 + d6
     full = PointCloud(xyz=full_xyz, intensity=full_int, mask=full_m)
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
                         less_flat=less_flat, full=full, overflow=overflow)

@@ -79,6 +79,22 @@ def street_canyon(seed: int = 0, length: float = 400.0) -> World:
     # some cross-street walls far ahead
     for xc in (length + 10.0, -30.0):
         walls.append([0, xc, -15.0, 15.0, 0.0, 8.0])
+    # parked boxes (cars/dumpsters): four vertical faces each — their
+    # x-normal faces are what constrains forward motion for plane factors
+    x = 5.0
+    while x < length:
+        side = 1.0 if (int(x / 23) % 2 == 0) else -1.0
+        y0 = side * rng.uniform(4.0, 5.5)
+        lx = rng.uniform(3.5, 5.0)
+        ly = 1.8
+        h = rng.uniform(1.4, 2.2)
+        ylo, yhi = min(y0, y0 + side * ly), max(y0, y0 + side * ly)
+        walls.append([0, x, ylo, yhi, 0.0, h])           # rear face
+        walls.append([0, x + lx, ylo, yhi, 0.0, h])      # front face
+        walls.append([1, ylo, x, x + lx, 0.0, h])        # inner side
+        walls.append([1, yhi, x, x + lx, 0.0, h])        # outer side
+        x += rng.uniform(18.0, 30.0)
+
     poles = []
     x = 0.0
     while x < length:
@@ -199,14 +215,15 @@ def render_scan(world: World, q_wxyz: np.ndarray, t_xyz: np.ndarray,
 
 
 def make_sequence(n_frames: int, scan_lines: int = 64, seed: int = 0,
-                  n_azimuth: int = 1800, speed: float = 10.0):
+                  n_azimuth: int = 1800, speed: float = 10.0,
+                  noise: float = 0.01, dropout: float = 0.05):
     """Generate a full synthetic sequence: list of (N_i, 4) scans + GT."""
     world = street_canyon(seed=seed, length=max(100.0,
                                                 speed * 0.1 * n_frames + 60))
     traj = drive_trajectory(n_frames, speed=speed)
     scans = [render_scan(world, traj.quats[i], traj.trans[i],
                          scan_lines=scan_lines, n_azimuth=n_azimuth,
-                         seed=seed * 10007 + i)
+                         seed=seed * 10007 + i, noise=noise, dropout=dropout)
              for i in range(n_frames)]
     return scans, traj
 

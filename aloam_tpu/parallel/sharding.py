@@ -1,0 +1,95 @@
+"""Multi-device scaling: batched LiDAR streams + sharded neighbor search.
+
+The reference's only concurrency is three OS processes on one machine
+(SURVEY.md §2.4). The TPU-native scaling axes are:
+
+* **Stream/data parallelism** — `vmap` the whole SLAM step over a leading
+  batch of independent LiDAR streams and shard that axis over the mesh
+  ("data"). Each stream's full state (pose, last features, map cubes)
+  carries the batch dim, so XLA partitions everything with zero collectives
+  on the hot path (BASELINE config 5: 64 streams / slice).
+* **Map-axis model parallelism** — the brute-force kNN reference axis
+  (the local map, the biggest tensor) shards over "model"; each device
+  computes a local top-k and the partial results merge with an
+  `all_gather` over ICI (the CP/SP analog per SURVEY.md §5 long-context).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aloam_tpu import pipeline
+from aloam_tpu.config import AloamConfig
+from aloam_tpu.neighbors import knn
+
+
+def make_mesh(n_data: int, n_model: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_data * n_model, (
+        f"need {n_data * n_model} devices, have {len(devices)}")
+    import numpy as np
+    dev = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def batched_init(cfg: AloamConfig, batch: int):
+    """Replicate the SLAM state across a leading stream axis."""
+    state = pipeline.init_state(cfg)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+
+
+def batched_step_fn(cfg: AloamConfig, mesh: Mesh):
+    """Jitted vmapped step with the stream axis sharded over "data".
+
+    Returns f(batched_state, xyz (B, n_raw, 3), mask (B, n_raw))
+    -> (batched_state, batched_outputs).
+    """
+    vstep = jax.vmap(lambda s, x, m: pipeline.step(s, x, m, cfg))
+    shard = NamedSharding(mesh, P("data"))
+
+    def put(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, shard), tree)
+
+    @jax.jit
+    def f(state, xyz, mask):
+        state = put(state)
+        xyz = jax.lax.with_sharding_constraint(xyz, shard)
+        mask = jax.lax.with_sharding_constraint(mask, shard)
+        new_state, outs = vstep(state, xyz, mask)
+        return put(new_state), outs
+
+    return f
+
+
+def sharded_knn(mesh: Mesh, k: int = 5):
+    """k-NN with the reference-point axis sharded over "model": local top-k
+    per shard, then an all_gather merge over ICI. Exact, like the dense
+    version; communication is O(Q·k·n_shards), not O(M)."""
+
+    @jax.jit
+    def f(query, ref, ref_mask):
+        def local(q, r, m):
+            d2, idx = knn(q, r, m, k)
+            shard_id = jax.lax.axis_index("model")
+            idx = idx + shard_id * r.shape[0]
+            d_all = jax.lax.all_gather(d2, "model", axis=0)   # (S, Q, k)
+            i_all = jax.lax.all_gather(idx, "model", axis=0)
+            s, qn, _ = d_all.shape
+            d_flat = jnp.moveaxis(d_all, 0, 1).reshape(qn, s * k)
+            i_flat = jnp.moveaxis(i_all, 0, 1).reshape(qn, s * k)
+            neg_top, pos = jax.lax.top_k(-d_flat, k)
+            return -neg_top, jnp.take_along_axis(i_flat, pos, axis=1)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("model", None), P("model")),
+            out_specs=(P(), P()), check_rep=False,
+        )(query, ref, ref_mask)
+
+    return f

@@ -1,0 +1,123 @@
+"""The fused SLAM pipeline: one pure jitted step, scanned over a stream.
+
+The reference runs registration → odometry → mapping as three OS processes
+chained by ROS topics with queue/drop backpressure (SURVEY.md §1). Here the
+whole per-scan pipeline is a single pure function
+
+    step(state, (xyz, mask)) -> (state, outputs)
+
+driven by ``lax.scan`` with zero host round-trips per scan — the
+TPU-idiomatic answer to ROS pipelining (SURVEY.md §2.4). All inter-stage
+"topics" are just arrays passed by value.
+
+Rate decoupling: ``mapping_skip_frame`` gates the mapping stage with a
+modulo condition (laserOdometry.cpp:570, default 1 in the HDL-64 launch =
+map every frame); the reference's real-time frame dropping
+(laserMapping.cpp:299-303) has no equivalent need here because the step is
+synchronous.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aloam_tpu import geometry as geo
+from aloam_tpu import mapping as mp
+from aloam_tpu import odometry as od
+from aloam_tpu.config import AloamConfig
+from aloam_tpu.frontend import register_scan, extract_features
+
+
+class SlamState(NamedTuple):
+    odom: od.OdomState
+    map: mp.MapState
+    frame: jnp.ndarray
+
+
+class SlamOutputs(NamedTuple):
+    # /laser_odom_to_init (laserOdometry.cpp:510-522)
+    q_odom: jnp.ndarray
+    t_odom: jnp.ndarray
+    # /aft_mapped_to_init (laserMapping.cpp:854-865)
+    q_map: jnp.ndarray
+    t_map: jnp.ndarray
+    # /aft_mapped_to_init_high_frec (laserMapping.cpp:197-229): odometry-rate
+    # pose with the *previous* frame's map correction — the async semantics
+    q_hf: jnp.ndarray
+    t_hf: jnp.ndarray
+    metrics: dict
+
+
+def init_state(cfg: AloamConfig) -> SlamState:
+    return SlamState(odom=od.init_state(cfg), map=mp.init_state(cfg),
+                     frame=jnp.int32(0))
+
+
+def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
+         cfg: AloamConfig):
+    """Process one scan end-to-end."""
+    rc, curv, ovf = register_scan(xyz, mask, cfg)
+    feats = extract_features(rc, curv, cfg)
+
+    odom, om = od.odometry_step(state.odom, feats, cfg)
+
+    # high-frequency fused pose uses the correction available *before* this
+    # frame's mapping solve (laserMapping.cpp:197-229)
+    q_hf = geo.qmul(state.map.q_wmap_wodom, odom.q_w)
+    t_hf = geo.qrot(state.map.q_wmap_wodom, odom.t_w) + state.map.t_wmap_wodom
+
+    def run_mapping(map_state):
+        return mp.mapping_step(map_state, feats.less_sharp, feats.less_flat,
+                               odom.q_w, odom.t_w, cfg)
+
+    if cfg.mapping_skip_frame <= 1:
+        map_state, mm = run_mapping(state.map)
+    else:
+        def skip(map_state):
+            zero = jnp.int32(0)
+            return map_state, mp.MapMetrics(
+                from_map_corner=zero, from_map_surf=zero,
+                corner_factors=zero, surf_factors=zero,
+                solved=jnp.asarray(False), overflow=zero)
+        map_state, mm = jax.lax.cond(
+            state.frame % cfg.mapping_skip_frame == 0,
+            run_mapping, skip, state.map)
+
+    metrics = {
+        "corner_corr": om.corner_corr,
+        "plane_corr": om.plane_corr,
+        "odom_cost": om.cost,
+        "map_corner_factors": mm.corner_factors,
+        "map_surf_factors": mm.surf_factors,
+        "map_solved": mm.solved,
+        "frontend_overflow": ovf + feats.overflow,
+        "map_overflow": mm.overflow,
+        "n_sharp": feats.sharp.count(),
+        "n_flat": feats.flat.count(),
+        "n_less_sharp": feats.less_sharp.count(),
+        "n_less_flat": feats.less_flat.count(),
+    }
+    outputs = SlamOutputs(q_odom=odom.q_w, t_odom=odom.t_w,
+                          q_map=map_state.q_w, t_map=map_state.t_w,
+                          q_hf=q_hf, t_hf=t_hf, metrics=metrics)
+    new_state = SlamState(odom=odom, map=map_state,
+                          frame=state.frame + 1)
+    return new_state, outputs
+
+
+def run_sequence(state: SlamState, xyz_seq: jnp.ndarray,
+                 mask_seq: jnp.ndarray, cfg: AloamConfig):
+    """`lax.scan` the fused step over a device-resident (F, n_raw, ·) scan
+    stack; returns (final state, stacked outputs). Zero host round-trips."""
+    def body(st, inp):
+        x, m = inp
+        return step(st, x, m, cfg)
+    return jax.lax.scan(body, state, (xyz_seq, mask_seq))
+
+
+def make_step_fn(cfg: AloamConfig):
+    """Jitted single-step closure (config baked in)."""
+    return jax.jit(lambda s, x, m: step(s, x, m, cfg))

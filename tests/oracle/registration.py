@@ -147,13 +147,17 @@ def register_scan(points: np.ndarray, scan_lines: int,
         for j in range(6):
             sp = start_ind[r] + (end_ind[r] - start_ind[r]) * j // 6
             ep = start_ind[r] + (end_ind[r] - start_ind[r]) * (j + 1) // 6 - 1
-            order = sorted(range(sp, ep + 1),
-                           key=lambda i: (curv[i], i))  # deterministic ties
+            # deterministic tie-breaks matching the JAX argmax/argmin
+            # semantics (lowest index among equal curvatures in both passes;
+            # the reference's std::sort is unstable here)
+            order_desc = sorted(range(sp, ep + 1),
+                                key=lambda i: (-curv[i], i))
+            order_asc = sorted(range(sp, ep + 1),
+                               key=lambda i: (curv[i], i))
 
             # descending pass: corners (scanRegistration.cpp:291-344)
             largest = 0
-            for k in range(len(order) - 1, -1, -1):
-                ind = order[k]
+            for ind in order_desc:
                 if picked[ind] == 0 and curv[ind] > curvature_threshold:
                     largest += 1
                     if largest <= 2:
@@ -170,8 +174,7 @@ def register_scan(points: np.ndarray, scan_lines: int,
 
             # ascending pass: flats (scanRegistration.cpp:346-390)
             smallest = 0
-            for k in range(len(order)):
-                ind = order[k]
+            for ind in order_asc:
                 if picked[ind] == 0 and curv[ind] < curvature_threshold:
                     label[ind] = -1
                     flat.append(cloud[ind])

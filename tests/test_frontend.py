@@ -147,7 +147,4 @@ def test_feature_counts_sane(jax_out):
     assert 500 < n_flat <= 1224
     assert n_ls >= n_sharp
     assert n_lf > 5000
-    # overflow counts *potentially* truncated regions (conservative: a
-    # region can be flagged even when every unvisited candidate was already
-    # NMS-suppressed, as the set-match tests prove here); allow a handful
-    assert int(np.asarray(feats.overflow)) <= 3
+    assert int(np.asarray(feats.overflow)) == 0

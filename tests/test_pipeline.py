@@ -1,0 +1,78 @@
+"""End-to-end pipeline test: full SLAM over a synthetic sequence + ATE."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aloam_tpu.config import AloamConfig
+from aloam_tpu import pipeline
+from aloam_tpu.eval import ate_rmse
+from aloam_tpu.io import synthetic as syn
+
+
+CFG = AloamConfig(
+    scan_lines=64, minimum_range=5.0,
+    line_resolution=0.4, plane_resolution=0.8,
+    n_raw=57344, ring_cap=1152, less_flat_cap=24576,
+    cube_corner_cap=512, cube_surf_cap=1024,
+    corner_stack_cap=2048, surf_stack_cap=8192,
+)
+N_FRAMES = 8
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return syn.make_sequence(N_FRAMES, scan_lines=64, n_azimuth=900,
+                             seed=5, speed=2.0)
+
+
+def test_full_pipeline_ate(seq):
+    scans, traj = seq
+    state = pipeline.init_state(CFG)
+    step = pipeline.make_step_fn(CFG)
+    t_odom, t_map = [], []
+    for i in range(N_FRAMES):
+        xyz, mask = syn.pad_scan(scans[i], CFG.n_raw)
+        state, out = step(state, jnp.asarray(xyz), jnp.asarray(mask))
+        t_odom.append(np.asarray(out.t_odom))
+        t_map.append(np.asarray(out.t_map))
+        m = jax.device_get(out.metrics)
+        if i > 0:
+            assert int(m["corner_corr"]) > 20
+            assert int(m["plane_corr"]) > 100
+        if i > 1:
+            assert bool(m["map_solved"])
+
+    gt = traj.trans - traj.trans[0]
+    ate_o = ate_rmse(np.stack(t_odom), gt, align=False)
+    ate_m = ate_rmse(np.stack(t_map), gt, align=False)
+    # scan-to-scan odometry carries an inherent forward bias from
+    # viewpoint-dependent silhouette corners (the reference algorithm
+    # behaves identically — its mapping stage exists to fix this); assert
+    # loose odometry tracking and tight mapped tracking
+    assert ate_o < 0.2, f"odometry ATE {ate_o}"
+    assert ate_m < 0.06, f"mapped ATE {ate_m}"
+    assert ate_m < ate_o, "mapping must improve on raw odometry"
+
+
+def test_scan_driver_matches_step_loop(seq):
+    """lax.scan over the stacked sequence == python step loop."""
+    scans, _ = seq
+    xs, ms = zip(*(syn.pad_scan(s, CFG.n_raw) for s in scans[:3]))
+    xyz_seq = jnp.asarray(np.stack(xs))
+    mask_seq = jnp.asarray(np.stack(ms))
+
+    state = pipeline.init_state(CFG)
+    step = pipeline.make_step_fn(CFG)
+    ts = []
+    for i in range(3):
+        state, out = step(state, xyz_seq[i], mask_seq[i])
+        ts.append(np.asarray(out.t_map))
+
+    state2 = pipeline.init_state(CFG)
+    _, outs = jax.jit(
+        lambda s, x, m: pipeline.run_sequence(s, x, m, CFG))(
+        state2, xyz_seq, mask_seq)
+    np.testing.assert_allclose(np.asarray(outs.t_map), np.stack(ts),
+                               atol=1e-4)
