@@ -73,10 +73,18 @@ class AloamConfig:
     ring_cap: int = 2560                # max points per ring after bucketing
     less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
     cube_corner_cap: int = 1024         # corner points per map cube
-    cube_surf_cap: int = 2048           # surf points per map cube
+    cube_surf_cap: int = 4096           # surf points per map cube (a 50 m
+    # ground cube holds ~3.9k voxels at the 0.8 m plane resolution)
     corner_stack_cap: int = 4096        # downsampled input corner stack
-    surf_stack_cap: int = 16384         # downsampled input surf stack
+    surf_stack_cap: int = 24576         # downsampled input surf stack
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
+    # spatial-hash gated 5-NN (mapping associations); the 2x2x2-cell query
+    # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq)
+    knn_cell: float = 2.0
+    knn_table_corner: int = 8192
+    knn_table_surf: int = 16384
+    knn_bucket_corner: int = 32
+    knn_bucket_surf: int = 48
 
     # exact region-sequential NMS (reference semantics) vs parallel regions
     sequential_regions: bool = True
@@ -107,11 +115,15 @@ class AloamConfig:
     @property
     def from_map_corner_cap(self) -> int:
         # 5x5x3 local cube neighborhood, compacted (laserMapping.cpp:512-529)
-        return _round_up(min(75 * self.cube_corner_cap, 32768), 128)
+        return _round_up(min(75 * self.cube_corner_cap, 16384), 128)
 
     @property
     def from_map_surf_cap(self) -> int:
-        return _round_up(min(75 * self.cube_surf_cap, 65536), 128)
+        return _round_up(min(75 * self.cube_surf_cap, 32768), 128)
+
+    @property
+    def knn_radius(self) -> float:
+        return self.map_knn_gate_sq ** 0.5
 
     def replace(self, **kw) -> "AloamConfig":
         return dataclasses.replace(self, **kw)

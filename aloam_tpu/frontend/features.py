@@ -48,52 +48,85 @@ def _region_bounds(cnt: jnp.ndarray, n_regions: int):
     return sp, ep, size, ok
 
 
-def _nms_window(pts: jnp.ndarray, picked: jnp.ndarray, cand: jnp.ndarray,
-                do: jnp.ndarray, gap_sq: float):
-    """Gap-stopped ±5 suppression around `cand` (scanRegistration.cpp:319-342)
-    including the self-mark. All effects are no-ops when `do` is False."""
-    start = cand - 5
-    win = jax.lax.dynamic_slice(pts, (start, jnp.int32(0)), (11, 3))
-    d = win[1:] - win[:-1]
-    gaps_ok = jnp.sum(d * d, axis=-1) <= gap_sq  # (10,) gap g: slot g->g+1
-    # upward l=1..5: all gaps (5..5+l-1) ok  -> cumulative AND of gaps[5:]
-    up = jnp.cumprod(gaps_ok[5:].astype(jnp.int32)) > 0
-    # downward l=-1..-5: all gaps (4, 3, ..) ok -> cum AND of reversed gaps[:5]
-    down = jnp.cumprod(gaps_ok[:5][::-1].astype(jnp.int32)) > 0
-    mark = jnp.concatenate([down[::-1], jnp.ones((1,), bool), up]) & do
-    pick_win = jax.lax.dynamic_slice(picked, (start,), (11,))
-    return jax.lax.dynamic_update_slice(picked, pick_win | mark, (start,))
+def _select_rings(pts, curv, cnt, cfg: AloamConfig):
+    """Greedy selection for all rings at once (no vmap, no dynamic slices).
 
+    Returns (label (R,C), picked (R,C), in_region (R,C)); label: 2 sharp,
+    1 less-sharp, -1 flat, 0 other (cloudLabel semantics).
 
-def _select_ring(pts, curv, cnt, cfg: AloamConfig):
-    """Greedy selection for one ring. Returns (label, picked, in_region).
-
-    label: 2 sharp, 1 less-sharp, -1 flat, 0 other (cloudLabel semantics).
+    The gap-stopped ±5 suppression (scanRegistration.cpp:319-342) has a
+    closed form over the whole ring: with B = prefix count of "bad" gaps
+    (>0.05 m² between consecutive slots), slot j is marked by a pick at
+    `cand` iff |j - cand| <= 5 and B[j] == B[cand] (B is monotone, so
+    endpoint equality == no bad gap in between). Every pick iteration is
+    then one masked extremum + elementwise updates on the (R, C) grid —
+    per-iteration cost is a few VPU passes instead of batched dynamic
+    slicing (which measured ~0.25 ms/iteration on TPU).
     """
-    c = pts.shape[0]
-    sp, ep, size, ring_ok = _region_bounds(cnt, cfg.n_regions)
+    r, c = curv.shape
+    sp, ep, size, ring_ok = jax.vmap(
+        lambda n: _region_bounds(n, cfg.n_regions))(cnt)
 
-    idx = jnp.arange(c, dtype=jnp.int32)
-    in_any = ring_ok & (idx >= 5) & (idx <= ep[-1]) & (idx < cnt)
+    idx = jnp.arange(c, dtype=jnp.int32)[None, :]
+    in_any = ring_ok[:, None] & (idx >= 5) & (idx <= ep[:, -1:]) \
+        & (idx < cnt[:, None])
 
-    picked = jnp.zeros((c,), bool)
-    label = jnp.zeros((c,), jnp.int8)
+    # exclusive prefix count of bad gaps; gap g sits between slots g, g+1
+    d = pts[:, 1:] - pts[:, :-1]
+    bad = (jnp.sum(d * d, axis=-1) > cfg.nms_gap_sq).astype(jnp.int32)
+    bcum = jnp.concatenate([jnp.zeros((r, 1), jnp.int32),
+                            jnp.cumsum(bad, axis=1)], axis=1)  # (R, C)
+
+    picked = jnp.zeros((r, c), bool)
+    label = jnp.zeros((r, c), jnp.int8)
+    bcum_f = bcum.astype(jnp.float32)
+
+    def pick_one(picked, label, window, want_max, thr_mask, lbl, mark_nbrs):
+        """One greedy pick per ring: extremum of eligible curvature, then
+        closed-form NMS marking.
+
+        Written entirely with reductions and arithmetic broadcasts: on this
+        TPU backend a batched cross-array gather or a comparison against a
+        row-broadcast operand inside a loop costs ~0.1 ms *per op*, while
+        the equivalent subtract-reduce forms cost <1 us.
+        """
+        elig = window & ~picked & thr_mask
+        score = jnp.where(elig, curv, -_INF if want_max else _INF)
+        cand = (jnp.argmax(score, axis=1) if want_max
+                else jnp.argmin(score, axis=1))
+        best = (jnp.max(score, axis=1) if want_max
+                else jnp.min(score, axis=1))
+        ok_f = jnp.isfinite(best).astype(jnp.float32)[:, None]   # (R, 1)
+        if mark_nbrs is not None:                                # scalar gate
+            nbr_f = ok_f * mark_nbrs.astype(jnp.float32)
+        else:
+            nbr_f = ok_f
+
+        iota = jax.lax.broadcasted_iota(jnp.float32, (r, c), 1)
+        d = iota - cand.astype(jnp.float32)[:, None]
+        at_cand = d == 0.0
+        sel_f = at_cand.astype(jnp.float32) * ok_f
+        label = jnp.where(sel_f > 0, lbl, label)
+
+        # b at the candidate via a masked reduction (gather-free)
+        b_cand = jnp.sum(bcum_f * at_cand.astype(jnp.float32), axis=1,
+                         keepdims=True)
+        mark_f = (jnp.abs(d) <= 5.0).astype(jnp.float32) \
+            * ((bcum_f - b_cand) == 0.0).astype(jnp.float32) * nbr_f
+        picked = picked | (mark_f > 0)
+        return picked, label
 
     def region_body(j, st):
         picked, label = st
-        window = (idx >= sp[j]) & (idx <= ep[j]) & (size[j] > 0)
+        window = (idx >= sp[:, j, None]) & (idx <= ep[:, j, None]) \
+            & (size[:, j, None] > 0)
 
         # --- corner picks: descending curvature (:291-344) --------------
         def corner_body(t, cst):
             picked, label = cst
-            score = jnp.where(window & ~picked
-                              & (curv > cfg.curvature_threshold), curv, -_INF)
-            cand = jnp.argmax(score).astype(jnp.int32)
-            ok = score[cand] > -_INF
             lbl = jnp.where(t < cfg.max_sharp, 2, 1).astype(jnp.int8)
-            label = label.at[cand].set(jnp.where(ok, lbl, label[cand]))
-            picked = _nms_window(pts, picked, cand, ok, cfg.nms_gap_sq)
-            return picked, label
+            return pick_one(picked, label, window, True,
+                            curv > cfg.curvature_threshold, lbl, None)
 
         picked, label = jax.lax.fori_loop(0, cfg.max_less_sharp,
                                           corner_body, (picked, label))
@@ -101,16 +134,10 @@ def _select_ring(pts, curv, cnt, cfg: AloamConfig):
         # --- flat picks: ascending curvature (:346-390) ------------------
         def flat_body(t, cst):
             picked, label = cst
-            score = jnp.where(window & ~picked
-                              & (curv < cfg.curvature_threshold), curv, _INF)
-            cand = jnp.argmin(score).astype(jnp.int32)
-            ok = score[cand] < _INF
-            label = label.at[cand].set(
-                jnp.where(ok, jnp.int8(-1), label[cand]))
             # 4th pick: label only, no suppression (:358-362)
-            do_mark = ok & (t < cfg.max_flat - 1)
-            picked = _nms_window(pts, picked, cand, do_mark, cfg.nms_gap_sq)
-            return picked, label
+            return pick_one(picked, label, window, False,
+                            curv < cfg.curvature_threshold, jnp.int8(-1),
+                            t < cfg.max_flat - 1)
 
         picked, label = jax.lax.fori_loop(0, cfg.max_flat,
                                           flat_body, (picked, label))
@@ -125,9 +152,7 @@ def extract_features(rc: RingCloud, curv: jnp.ndarray,
                      cfg: AloamConfig) -> ScanFeatures:
     """C5 + C6: run selection on every ring, voxel-downsample the less-flat
     candidates per ring (0.2 m leaf, :401-407), and pack the five clouds."""
-    label, picked, in_region = jax.vmap(
-        lambda p, cv, n: _select_ring(p, cv, n, cfg)
-    )(rc.xyz, curv, rc.cnt)
+    label, picked, in_region = _select_rings(rc.xyz, curv, rc.cnt, cfg)
 
     def cloud(mask, cap):
         xyz, inten, m, dropped = compact_cloud(

@@ -93,25 +93,24 @@ def bucket_rings(xyz: jnp.ndarray, intensity: jnp.ndarray,
     (ring, arrival index) + scatter into a (R, C) grid. Points past a ring's
     capacity are dropped and counted in `overflow`."""
     n = xyz.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(scan_lines)
-    key = jnp.where(valid, ring, big) * jnp.int32(n) + idx
-    order = jnp.argsort(key)  # unique keys -> deterministic
+    ring_v = jnp.where(valid, ring, big)
+    order = jnp.argsort(ring_v, stable=True)  # arrival order within ring
 
-    ring_s = jnp.where(valid, ring, big)[order]
-    cnt_all = jnp.bincount(ring_s, length=scan_lines + 1)
-    cnt = cnt_all[:scan_lines]
-    starts = jnp.concatenate([jnp.zeros(1, cnt.dtype),
-                              jnp.cumsum(cnt)])[:scan_lines + 1]
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[
-        jnp.minimum(ring_s, scan_lines)].astype(jnp.int32)
+    ring_s = ring_v[order]
+    cnt = jnp.bincount(ring_s, length=scan_lines + 1)[:scan_lines]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(cnt).astype(jnp.int32)])
 
-    ok = (ring_s < scan_lines) & (rank < ring_cap)
-    dest = jnp.where(ok, ring_s * ring_cap + rank, scan_lines * ring_cap)
-    flat_xyz = jnp.zeros((scan_lines * ring_cap, 3), xyz.dtype)
-    flat_int = jnp.zeros((scan_lines * ring_cap,), intensity.dtype)
-    flat_xyz = flat_xyz.at[dest].set(xyz[order], mode="drop")
-    flat_int = flat_int.at[dest].set(intensity[order], mode="drop")
+    # fill the (R, C) grid by gather inversion: slot (r, j) reads sorted row
+    # starts[r] + j when j < cnt[r] (scatter-free; see ops/hashgrid.py)
+    jj = jnp.arange(ring_cap, dtype=jnp.int32)[None, :]
+    src = jnp.clip(starts[:scan_lines][:, None] + jj, 0, n - 1).reshape(-1)
+    occupied = (jj < cnt[:, None]).reshape(-1)
+    xyz_s = xyz[order]
+    int_s = intensity[order]
+    flat_xyz = jnp.where(occupied[:, None], xyz_s[src], 0.0)
+    flat_int = jnp.where(occupied, int_s[src], 0.0)
 
     cnt_clamped = jnp.minimum(cnt, ring_cap).astype(jnp.int32)
     overflow = jnp.sum(cnt - cnt_clamped)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from aloam_tpu import geometry as geo
 from aloam_tpu import solver
 from aloam_tpu.config import AloamConfig
-from aloam_tpu.neighbors import knn
+from aloam_tpu.ops import hashgrid
+from aloam_tpu.ops.linalg3 import eigh3, solve3
 from aloam_tpu.types import PointCloud
 from aloam_tpu.frontend.voxel import voxel_downsample_masked
 from aloam_tpu.utils.masked import compact
@@ -102,7 +103,7 @@ def _neighbor_cubes(center_w: jnp.ndarray, cfg: AloamConfig):
 
 
 def _gather_local_map(state: MapState, center_w, cfg: AloamConfig):
-    """Concatenate the neighborhood cubes into compacted from-map clouds
+    """Concatenate the neighborhood cubes into masked from-map clouds
     (laserMapping.cpp:531-537)."""
     w, slots = _neighbor_cubes(center_w, cfg)
     own_ok = jnp.all(state.cube_coord[slots] == w, axis=-1)  # (75,)
@@ -111,6 +112,9 @@ def _gather_local_map(state: MapState, center_w, cfg: AloamConfig):
         pts = xyz[slots]                      # (75, cap, 3)
         pos = jnp.arange(cap)[None, :]
         m = own_ok[:, None] & (pos < cnt[slots][:, None])
+        # compact so every downstream sort/gather runs on ~valid-sized
+        # arrays instead of 75*cap mostly-padding rows (scatters are cheap
+        # on TPU; per-row gather/sort latency is not)
         out, out_mask, dropped = compact(pts.reshape(-1, 3), m.reshape(-1),
                                          out_cap)
         return out, out_mask, dropped
@@ -122,29 +126,21 @@ def _gather_local_map(state: MapState, center_w, cfg: AloamConfig):
     return (c_xyz, c_mask), (s_xyz, s_mask), slots, d1 + d2
 
 
-def _eigh3_line_direction(cov: jnp.ndarray):
-    """Batched symmetric 3×3 eigendecomposition: returns (eigvals ascending
-    (N,3), principal direction (N,3)) — the reference's
-    SelfAdjointEigenSolver usage (laserMapping.cpp:605-611)."""
-    vals, vecs = jnp.linalg.eigh(cov)
-    return vals, vecs[..., :, 2]
-
-
-def corner_associations(stack_xyz, stack_mask, map_xyz, map_mask,
+def corner_associations(stack_xyz, stack_mask, grid: hashgrid.HashGrid,
                         q, t, cfg: AloamConfig) -> solver.EdgeFactors:
-    """Map-frame edge factors via 5-NN PCA (laserMapping.cpp:577-640):
+    """Map-frame edge factors via gated 5-NN PCA (laserMapping.cpp:577-640):
     if λ₂ > 3λ₁ the neighborhood is a line; emit virtual points at
     centroid ± 0.1·direction."""
     sel = geo.qrot(q, stack_xyz) + t
-    d2, idx = knn(sel, map_xyz, map_mask, k=5, chunk=cfg.knn_chunk)
+    d2, near = hashgrid.knn(grid, sel, 5, cfg.knn_cell,
+                            cfg.knn_table_corner, cfg.knn_radius)
     gate = stack_mask & (d2[:, 4] < cfg.map_knn_gate_sq)
 
-    near = map_xyz[idx]                       # (N, 5, 3)
     center = jnp.mean(near, axis=1)
     diff = near - center[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", diff, diff,
                      precision=jax.lax.Precision.HIGHEST)
-    vals, direction = _eigh3_line_direction(cov)
+    vals, direction = eigh3(cov)
     is_line = vals[:, 2] > cfg.map_eigen_ratio * vals[:, 1]
 
     a = center + cfg.map_edge_half_len * direction
@@ -153,16 +149,19 @@ def corner_associations(stack_xyz, stack_mask, map_xyz, map_mask,
                               mask=gate & is_line)
 
 
-def surf_associations(stack_xyz, stack_mask, map_xyz, map_mask,
+def surf_associations(stack_xyz, stack_mask, grid: hashgrid.HashGrid,
                       q, t, cfg: AloamConfig) -> solver.PlaneFactors:
-    """Map-frame plane factors via 5-NN LSQ plane fit
+    """Map-frame plane factors via gated 5-NN LSQ plane fit
     (laserMapping.cpp:642-705): solve A·n = -1, normalize, keep the plane iff
     every neighbor is within 0.2 m."""
     sel = geo.qrot(q, stack_xyz) + t
-    d2, idx = knn(sel, map_xyz, map_mask, k=5, chunk=cfg.knn_chunk)
+    d2, near = hashgrid.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_table_surf,
+                            cfg.knn_radius)
     gate = stack_mask & (d2[:, 4] < cfg.map_knn_gate_sq)
+    # garbage rows (gate off) may carry +inf pads: zero them so the fit
+    # arithmetic below stays finite
+    near = jnp.where(jnp.isfinite(near), near, 0.0)
 
-    near = map_xyz[idx]                       # (N, 5, 3)
     # least squares A n = -1 via 3x3 normal equations; the Gram matrix is
     # accumulated on centered coordinates for f32 conditioning:
     # A^T A = sum_k p_k p_k^T = (centered Gram) + 5 c c^T since sum a_c = 0
@@ -172,9 +171,7 @@ def surf_associations(stack_xyz, stack_mask, map_xyz, map_mask,
                       precision=jax.lax.Precision.HIGHEST)
     ata_full = gram + 5.0 * c[:, :, None] * c[:, None, :]
     atb = -jnp.sum(near, axis=1)
-    eye = jnp.eye(3, dtype=near.dtype)
-    n = jnp.linalg.solve(ata_full + 1e-9 * eye,
-                         atb[..., None])[..., 0]
+    n = solve3(ata_full, atb, reg=1e-9)
     n_norm = jnp.linalg.norm(n, axis=-1)
     neg_oa = 1.0 / jnp.maximum(n_norm, 1e-12)
     n_hat = n * neg_oa[:, None]
@@ -236,21 +233,74 @@ def _insert_points(xyz_cubes, int_cubes, cnt, pts, inten, mask,
             flat_int.reshape(int_cubes.shape), new_cnt, overflow)
 
 
-def _redownsample_cubes(xyz_cubes, int_cubes, cnt, slots, leaf,
-                        cap: int):
+def _redownsample_cubes(xyz_cubes, int_cubes, cnt, slots, cube_coord, leaf,
+                        cap: int, cfg: AloamConfig, work_cap: int):
     """Re-voxel-filter the local-neighborhood cubes in place
-    (laserMapping.cpp:787-801)."""
+    (laserMapping.cpp:787-801).
+
+    Compact-first design: the 75 gathered cubes flatten and compact to
+    ~valid size, one packed (cube, voxel) int32 key sorts everything at
+    once, segment centroids accumulate by scatter-add, and results scatter
+    back to per-cube slots. Every gather/sort runs on work_cap rows rather
+    than 75*cap mostly-padding rows.
+    """
+    n_local = slots.shape[0]
     pts = xyz_cubes[slots]
     its = int_cubes[slots]
     pos = jnp.arange(cap)[None, :]
-    m = pos < cnt[slots][:, None]
-    vals = jnp.concatenate([pts, its[..., None]], axis=-1)
-    out, out_mask, _ = jax.vmap(
-        lambda v, mm: voxel_downsample_masked(v, mm, leaf, cap))(vals, m)
-    new_cnt = jnp.sum(out_mask, axis=1).astype(jnp.int32)
+    m = (pos < cnt[slots][:, None]).reshape(-1)
+    local = jax.lax.broadcasted_iota(jnp.int32, (n_local, cap), 0)
+    rows = jnp.concatenate(
+        [pts.reshape(-1, 3), its.reshape(-1, 1),
+         local.reshape(-1, 1).astype(jnp.float32)], axis=1)
+    comp, cmask, _ = compact(rows, m, work_cap)
+    vals_c = comp[:, :4]
+    cube_c = comp[:, 4].astype(jnp.int32)
+
+    anchors = (cube_coord[slots].astype(jnp.float32) * cfg.cube_size
+               - cfg.cube_size / 2.0)                        # (75, 3)
+    anchor_c = anchors[jnp.clip(cube_c, 0, n_local - 1)]     # narrow gather
+    rel = vals_c[:, :3] - anchor_c
+    ijk = jnp.clip(jnp.floor(rel / leaf).astype(jnp.int32), 0, 127)
+    vox = (ijk[:, 2] * 128 + ijk[:, 1]) * 128 + ijk[:, 0]    # 21 bits
+    key = jnp.where(cmask, cube_c * (1 << 21) + vox, jnp.int32(2 ** 30))
+
+    order = jnp.argsort(key)
+    key_s = key[order]
+    vals_s = vals_c[order]
+    mask_s = key_s < 2 ** 30
+    new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True) & mask_s
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    n_seg = seg[-1] + 1
+
+    # per-segment centroids (scatter-add) and segment -> cube/rank mapping
+    dest = jnp.where(mask_s, seg, work_cap)
+    ext = jnp.concatenate([jnp.where(mask_s[:, None], vals_s, 0.0),
+                           mask_s.astype(jnp.float32)[:, None]], axis=1)
+    totals = jnp.zeros((work_cap, 5), jnp.float32).at[dest].add(
+        ext, mode="drop")
+    centroids = totals[:, :4] / jnp.maximum(totals[:, 4], 1.0)[:, None]
+
+    cube_s = key_s >> 21
+    cube_of_seg = jnp.zeros((work_cap,), jnp.int32).at[dest].set(
+        cube_s, mode="drop")
+    base = jnp.full((n_local + 1,), 2 ** 30, jnp.int32).at[
+        jnp.where(mask_s, cube_s, n_local)].min(seg, mode="drop")
+    seg_ids = jnp.arange(work_cap, dtype=jnp.int32)
+    rank = seg_ids - base[jnp.clip(cube_of_seg, 0, n_local - 1)]
+    seg_ok = (seg_ids < n_seg) & (rank >= 0) & (rank < cap)
+    out_dest = jnp.where(seg_ok, cube_of_seg * cap + rank, n_local * cap)
+
+    out = jnp.zeros((n_local * cap, 4), jnp.float32).at[out_dest].set(
+        centroids, mode="drop")
+    out = out.reshape(n_local, cap, 4)
+    new_cnt = jnp.bincount(
+        jnp.where(seg_ids < n_seg, cube_of_seg, n_local),
+        length=n_local + 1)[:n_local]
+
     xyz_cubes = xyz_cubes.at[slots].set(out[..., :3])
     int_cubes = int_cubes.at[slots].set(out[..., 3])
-    cnt = cnt.at[slots].set(new_cnt)
+    cnt = cnt.at[slots].set(jnp.minimum(new_cnt, cap).astype(jnp.int32))
     return xyz_cubes, int_cubes, cnt
 
 
@@ -266,10 +316,18 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     t_w = geo.qrot(state.q_wmap_wodom, t_wodom) + state.t_wmap_wodom
 
     center_w = world_cube(t_w, cfg)
-    (c_xyz, c_mask), (s_xyz, s_mask), slots, gather_drop = \
+    (c_xyz, c_mask), (s_xyz, s_mask), slots, compact_drop = \
         _gather_local_map(state, center_w, cfg)
     n_map_corner = jnp.sum(c_mask)
     n_map_surf = jnp.sum(s_mask)
+
+    # spatial-hash neighbor tables, built once per frame like the
+    # reference's per-frame KD-trees (laserMapping.cpp:558-559)
+    corner_grid = hashgrid.build(c_xyz, c_mask, cfg.knn_cell,
+                                 cfg.knn_table_corner, cfg.knn_bucket_corner)
+    surf_grid = hashgrid.build(s_xyz, s_mask, cfg.knn_cell,
+                               cfg.knn_table_surf, cfg.knn_bucket_surf)
+    gather_drop = corner_grid.overflow + surf_grid.overflow + compact_drop
 
     # input stack downsample (:542-550)
     c_vals = jnp.concatenate([corner_in.xyz, corner_in.intensity[:, None]],
@@ -293,9 +351,9 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     n_plane = jnp.int32(0)
     for _ in range(cfg.map_outer_rounds):
         edges = corner_associations(corner_stack, c_ds_mask & solve_ok,
-                                    c_xyz, c_mask, q_w, t_w, cfg)
+                                    corner_grid, q_w, t_w, cfg)
         planes = surf_associations(surf_stack, s_ds_mask & solve_ok,
-                                   s_xyz, s_mask, q_w, t_w, cfg)
+                                   surf_grid, q_w, t_w, cfg)
         q_w, t_w, stats = solver.lm_solve((edges, planes), q_w, t_w,
                                           cfg.map_lm_iters, cfg.huber_delta)
         n_edge = jnp.sum(edges.mask)
@@ -322,11 +380,13 @@ def mapping_step(state: MapState, corner_in: PointCloud,
 
     # re-downsample the local cubes (:787-801)
     corner_xyz, corner_int, corner_cnt = _redownsample_cubes(
-        corner_xyz, corner_int, corner_cnt, slots, cfg.line_resolution,
-        cfg.cube_corner_cap)
+        corner_xyz, corner_int, corner_cnt, slots, cube_coord,
+        cfg.line_resolution, cfg.cube_corner_cap, cfg,
+        cfg.from_map_corner_cap + cfg.corner_stack_cap)
     surf_xyz, surf_int, surf_cnt = _redownsample_cubes(
-        surf_xyz, surf_int, surf_cnt, slots, cfg.plane_resolution,
-        cfg.cube_surf_cap)
+        surf_xyz, surf_int, surf_cnt, slots, cube_coord,
+        cfg.plane_resolution, cfg.cube_surf_cap, cfg,
+        cfg.from_map_surf_cap + cfg.surf_stack_cap)
 
     new_state = MapState(
         corner_xyz=corner_xyz, corner_int=corner_int, corner_cnt=corner_cnt,

@@ -45,9 +45,7 @@ def dist2_matrix(query: jnp.ndarray, ref: jnp.ndarray,
 def nn1(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray):
     """1-NN: returns (d2 (Q,), idx (Q,))."""
     d2 = dist2_matrix(query, ref, ref_mask)
-    idx = jnp.argmin(d2, axis=-1)
-    return jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0], \
-        idx.astype(jnp.int32)
+    return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
 
 def knn_streamed(query: jnp.ndarray, ref: jnp.ndarray,

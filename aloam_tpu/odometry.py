@@ -71,8 +71,7 @@ def edge_correspondences(sharp: PointCloud, last: PointCloud,
     d2 = dist2_matrix(sel, last.xyz, last.mask)
     d2 = jnp.where(sharp.mask[:, None], d2, _INF)
     nn = jnp.argmin(d2, axis=1)
-    nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
-    gate1 = nn_d2 < cfg.dist_sq_threshold
+    gate1 = jnp.min(d2, axis=1) < cfg.dist_sq_threshold
 
     ring = last.ring()
     ring_nn = ring[nn]
@@ -81,8 +80,7 @@ def edge_correspondences(sharp: PointCloud, last: PointCloud,
     cand = (adiff >= 1) & (adiff <= jnp.int32(cfg.nearby_scan))
     d2_c = jnp.where(cand, d2, _INF)
     idx2 = jnp.argmin(d2_c, axis=1)
-    val2 = jnp.take_along_axis(d2_c, idx2[:, None], axis=1)[:, 0]
-    gate2 = val2 < cfg.dist_sq_threshold
+    gate2 = jnp.min(d2_c, axis=1) < cfg.dist_sq_threshold
 
     valid = sharp.mask & gate1 & gate2
     return solver.EdgeFactors(p=sharp.xyz, a=last.xyz[nn],
@@ -99,8 +97,7 @@ def plane_correspondences(flat: PointCloud, last: PointCloud,
     d2 = dist2_matrix(sel, last.xyz, last.mask)
     d2 = jnp.where(flat.mask[:, None], d2, _INF)
     nn = jnp.argmin(d2, axis=1)
-    nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
-    gate1 = nn_d2 < cfg.dist_sq_threshold
+    gate1 = jnp.min(d2, axis=1) < cfg.dist_sq_threshold
 
     ring = last.ring()
     ring_nn = ring[nn]
@@ -112,12 +109,12 @@ def plane_correspondences(flat: PointCloud, last: PointCloud,
     cand2 = (adiff == 0) & not_nn
     d2_2 = jnp.where(cand2, d2, _INF)
     idx2 = jnp.argmin(d2_2, axis=1)
-    val2 = jnp.take_along_axis(d2_2, idx2[:, None], axis=1)[:, 0]
+    val2 = jnp.min(d2_2, axis=1)
 
     cand3 = (adiff >= 1) & (adiff <= jnp.int32(cfg.nearby_scan))
     d2_3 = jnp.where(cand3, d2, _INF)
     idx3 = jnp.argmin(d2_3, axis=1)
-    val3 = jnp.take_along_axis(d2_3, idx3[:, None], axis=1)[:, 0]
+    val3 = jnp.min(d2_3, axis=1)
 
     valid = flat.mask & gate1 \
         & (val2 < cfg.dist_sq_threshold) & (val3 < cfg.dist_sq_threshold)

@@ -118,6 +118,12 @@ def run_sequence(state: SlamState, xyz_seq: jnp.ndarray,
     return jax.lax.scan(body, state, (xyz_seq, mask_seq))
 
 
-def make_step_fn(cfg: AloamConfig):
-    """Jitted single-step closure (config baked in)."""
-    return jax.jit(lambda s, x, m: step(s, x, m, cfg))
+def make_step_fn(cfg: AloamConfig, donate: bool = True):
+    """Jitted single-step closure (config baked in).
+
+    With ``donate=True`` (default) the state argument is donated so the
+    ~0.5 GB of map-cube buffers update in place instead of being copied
+    every frame; callers must not reuse a state they passed in.
+    """
+    return jax.jit(lambda s, x, m: step(s, x, m, cfg),
+                   donate_argnums=(0,) if donate else ())

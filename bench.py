@@ -35,13 +35,15 @@ def main():
     xyz = jnp.asarray(np.stack(xs))
     mask = jnp.asarray(np.stack(ms))
 
-    run = jax.jit(lambda s, x, m: pipeline.run_sequence(s, x, m, cfg))
-    state = pipeline.init_state(cfg)
+    run = jax.jit(lambda s, x, m: pipeline.run_sequence(s, x, m, cfg),
+                  donate_argnums=(0,))
 
-    # compile + warm-up pass
-    _, outs = run(state, xyz, mask)
+    # compile + warm-up pass (fresh state each call — the state is donated)
+    _, outs = run(pipeline.init_state(cfg), xyz, mask)
     jax.block_until_ready(outs.t_map)
 
+    state = pipeline.init_state(cfg)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
     t0 = time.perf_counter()
     _, outs = run(state, xyz, mask)
     jax.block_until_ready(outs.t_map)

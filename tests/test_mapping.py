@@ -93,6 +93,13 @@ def test_reclaim_clears_both_classes(rng):
     assert got_s[:, 0].min() > shift - 60
 
 
+def _grid(map_pts, table):
+    from aloam_tpu.ops import hashgrid
+    m = jnp.ones(map_pts.shape[0], bool)
+    return hashgrid.build(jnp.asarray(map_pts), m, CFG.knn_cell, table,
+                          CFG.knn_bucket_surf)
+
+
 def test_corner_association_finds_line(rng):
     # map: a dense vertical line at (1, 2); query point near it
     zline = np.linspace(0, 3, 40).astype(np.float32)
@@ -100,8 +107,9 @@ def test_corner_association_finds_line(rng):
     map_pts += rng.normal(scale=0.01, size=map_pts.shape).astype(np.float32)
     q_pts = np.array([[1.02, 2.01, 1.5]], np.float32)
     f = mapping.corner_associations(
-        jnp.asarray(q_pts), jnp.ones(1, bool), jnp.asarray(map_pts),
-        jnp.ones(40, bool), geo.qidentity(), jnp.zeros(3), CFG)
+        jnp.asarray(q_pts), jnp.ones(1, bool),
+        _grid(map_pts, CFG.knn_table_corner),
+        geo.qidentity(), jnp.zeros(3), CFG)
     assert bool(f.mask[0])
     direction = np.asarray(f.a[0] - f.b[0])
     direction = direction / np.linalg.norm(direction)
@@ -116,8 +124,9 @@ def test_surf_association_finds_plane(rng):
                              -1).astype(np.float32)
     q_pts = np.array([[0.1, -0.2, 0.52]], np.float32)
     f = mapping.surf_associations(
-        jnp.asarray(q_pts), jnp.ones(1, bool), jnp.asarray(map_pts),
-        jnp.ones(100, bool), geo.qidentity(), jnp.zeros(3), CFG)
+        jnp.asarray(q_pts), jnp.ones(1, bool),
+        _grid(map_pts, CFG.knn_table_surf),
+        geo.qidentity(), jnp.zeros(3), CFG)
     assert bool(f.mask[0])
     n = np.asarray(f.n[0])
     assert abs(n[2]) > 0.999
@@ -130,13 +139,14 @@ def test_plane_fit_matches_lstsq(rng):
     """The 3x3 normal-equation plane fit equals colPivHouseholderQr-style
     least squares (laserMapping.cpp:663)."""
     for _ in range(20):
-        near = rng.uniform(-1, 1, size=(5, 3))
+        # tight cluster so the gated 5-NN (1.0 m²) finds all five points
+        near = rng.uniform(-0.3, 0.3, size=(5, 3))
         near[:, 2] = 0.3 * near[:, 0] - 0.2 * near[:, 1] + 1.0 \
             + rng.normal(scale=0.02, size=5)
         n_ref, *_ = np.linalg.lstsq(near, -np.ones(5), rcond=None)
         f = mapping.surf_associations(
             jnp.asarray(near[:1], jnp.float32), jnp.ones(1, bool),
-            jnp.asarray(near, jnp.float32), jnp.ones(5, bool),
+            _grid(near.astype(np.float32), CFG.knn_table_surf),
             geo.qidentity(), jnp.zeros(3), CFG)
         n_hat_ref = n_ref / np.linalg.norm(n_ref)
         dot = abs(float(np.dot(np.asarray(f.n[0]), n_hat_ref)))
