@@ -73,8 +73,10 @@ class AloamConfig:
     ring_cap: int = 2560                # max points per ring after bucketing
     less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
     cube_corner_cap: int = 1024         # corner points per map cube
-    cube_surf_cap: int = 4096           # surf points per map cube (a 50 m
-    # ground cube holds ~3.9k voxels at the 0.8 m plane resolution)
+    cube_surf_cap: int = 6144           # surf points per map cube (a 50 m
+    # ground cube holds ~3.9k voxels at the 0.8 m plane resolution; walls
+    # and clutter in the same cube need headroom — undersized cubes truncate
+    # in insertion order, which spatially biases the map)
     corner_stack_cap: int = 4096        # downsampled input corner stack
     surf_stack_cap: int = 24576         # downsampled input surf stack
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)

@@ -32,7 +32,7 @@ from aloam_tpu.types import PointCloud, RingCloud, ScanFeatures
 from aloam_tpu.frontend.voxel import voxel_downsample_rings
 from aloam_tpu.utils.masked import compact_cloud
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain scalar: jnp constants at import time would init backends
 
 
 def _region_bounds(cnt: jnp.ndarray, n_regions: int):

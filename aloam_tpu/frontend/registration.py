@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from aloam_tpu.config import AloamConfig
 from aloam_tpu.types import RingCloud
 
-_TWO_PI = 2.0 * jnp.pi
+_TWO_PI = 2.0 * 3.141592653589793
 
 
 def ring_ids(xyz: jnp.ndarray, scan_lines: int):

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_SENTINEL = jnp.int32(2 ** 30)
+_SENTINEL = 2 ** 30  # plain scalar: jnp constants at import time would init backends
 
 
 def _lex_order(ijk: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain scalar: jnp constants at import time would init backends
 
 
 def dist2_matrix(query: jnp.ndarray, ref: jnp.ndarray,

@@ -23,7 +23,7 @@ from aloam_tpu.config import AloamConfig
 from aloam_tpu.neighbors import dist2_matrix
 from aloam_tpu.types import PointCloud, ScanFeatures
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain scalar: jnp constants at import time would init backends
 
 
 class OdomState(NamedTuple):

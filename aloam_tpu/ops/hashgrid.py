@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain scalar: jnp constants at import time would init backends
 _P1, _P2, _P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
 
 
