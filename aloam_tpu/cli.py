@@ -1,0 +1,150 @@
+"""Command-line pipeline runner — the launch-file equivalent (C28).
+
+The reference is driven by three roslaunch presets
+(launch/aloam_velodyne_{VLP_16,HDL_32,HDL_64}.launch) plus the kittiHelper
+node. This runner plays a KITTI sequence or a synthetic sequence through the
+fused pipeline, logging structured per-frame metrics (JSONL), writing the
+trajectory (TUM format + npz), optional checkpoints, and rviz-stand-in PNGs.
+
+Examples:
+    python -m aloam_tpu.cli --preset HDL-64 --synthetic --frames 100 \
+        --out /tmp/run1
+    python -m aloam_tpu.cli --preset HDL-64 --kitti /data/kitti \
+        --sequence 00 --out /tmp/kitti00
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="HDL-64",
+                   choices=["VLP-16", "HDL-32", "HDL-64"])
+    p.add_argument("--kitti", help="KITTI dataset folder (kittiHelper layout)")
+    p.add_argument("--sequence", default="00")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic street-canyon sequence instead of KITTI")
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--speed", type=float, default=10.0,
+                   help="synthetic vehicle speed [m/s]")
+    p.add_argument("--out", default="out_run", help="output directory")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save the SLAM state pytree every K frames")
+    p.add_argument("--resume", help="checkpoint .npz to resume from")
+    p.add_argument("--plots", action="store_true",
+                   help="write trajectory/map PNGs at the end")
+    p.add_argument("--mapping-skip-frame", type=int, default=None)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from aloam_tpu.config import PRESETS
+    from aloam_tpu import pipeline
+    from aloam_tpu.eval import ate_rmse, rpe
+    from aloam_tpu.io import synthetic as syn
+    from aloam_tpu.utils import checkpoint as ckpt
+    from aloam_tpu.utils.tictoc import TicToc
+
+    cfg = PRESETS[args.preset]
+    if args.mapping_skip_frame is not None:
+        cfg = cfg.replace(mapping_skip_frame=args.mapping_skip_frame)
+
+    # ---- data source (C1) ------------------------------------------------
+    gt_t = None
+    if args.synthetic or not args.kitti:
+        scans, traj = syn.make_sequence(
+            args.frames, scan_lines=cfg.scan_lines, seed=7, speed=args.speed)
+        frames = ((syn.pad_scan(s, cfg.n_raw) + (float(i) * 0.1,))
+                  for i, s in enumerate(scans))
+        gt_t = traj.trans - traj.trans[0]
+    else:
+        from aloam_tpu.io import kitti
+        frames = ((f.xyz, f.mask, f.timestamp) for f in
+                  kitti.iter_sequence(args.kitti, args.sequence, cfg.n_raw))
+
+    # ---- pipeline --------------------------------------------------------
+    step = pipeline.make_step_fn(cfg)
+    state = pipeline.init_state(cfg)
+    if args.resume:
+        state = ckpt.load(args.resume, state)
+        print(f"resumed from {args.resume}")
+
+    metrics_path = os.path.join(args.out, "metrics.jsonl")
+    traj_odom, traj_map, traj_hf, stamps = [], [], [], []
+    t_all = TicToc()
+    with open(metrics_path, "w") as mf:
+        for i, (xyz, mask, ts) in enumerate(frames):
+            if i >= args.frames:
+                break
+            t_frame = TicToc()
+            state, out = step(state, jnp.asarray(xyz), jnp.asarray(mask))
+            m = jax.device_get(out.metrics)
+            wall = t_frame.toc()
+            traj_odom.append(np.asarray(out.t_odom))
+            traj_map.append(np.concatenate(
+                [np.asarray(out.t_map), np.asarray(out.q_map)]))
+            traj_hf.append(np.asarray(out.t_hf))
+            stamps.append(ts)
+            rec = {"frame": i, "t": ts, "wall_ms": round(wall, 2)}
+            rec.update({k: (float(v) if hasattr(v, "ndim") else v)
+                        for k, v in m.items()})
+            mf.write(json.dumps(rec) + "\n")
+            if (m["corner_corr"] + m["plane_corr"]) < 10 and i > 0:
+                print(f"frame {i}: less correspondence! "
+                      f"({int(m['corner_corr'])}+{int(m['plane_corr'])})")
+            if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+                path = os.path.join(args.out, f"state_{i + 1:06d}.npz")
+                ckpt.save(path, state)
+                print(f"checkpoint -> {path}")
+
+    n = len(traj_map)
+    total_ms = t_all.toc()
+    print(f"{n} frames in {total_ms / 1e3:.1f}s "
+          f"({n / max(total_ms / 1e3, 1e-9):.1f} scans/s incl. host loop)")
+
+    # ---- outputs ---------------------------------------------------------
+    tm = np.stack(traj_map)
+    np.savez(os.path.join(args.out, "trajectory.npz"),
+             t_map=tm[:, :3], q_map=tm[:, 3:],
+             t_odom=np.stack(traj_odom), t_hf=np.stack(traj_hf),
+             stamps=np.asarray(stamps))
+    # TUM format: t x y z qx qy qz qw
+    with open(os.path.join(args.out, "trajectory_tum.txt"), "w") as f:
+        for ts, row in zip(stamps, tm):
+            t, q = row[:3], row[3:]
+            f.write(f"{ts} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}\n")
+
+    if gt_t is not None and n > 1:
+        ate = ate_rmse(tm[:, :3], gt_t[:n], align=False)
+        rpe_t, _ = rpe(tm[:, :3], gt_t[:n])
+        print(f"ATE RMSE {ate:.4f} m   RPE {rpe_t:.4f} m")
+
+    if args.plots:
+        from aloam_tpu.eval import viz
+        from aloam_tpu import mapping as mp
+        paths = {"mapped": tm[:, :3], "odometry": np.stack(traj_odom)}
+        if gt_t is not None:
+            paths["ground truth"] = gt_t[:n]
+        viz.plot_trajectories(paths, os.path.join(args.out, "trajectory.png"))
+        corner, surf = mp.extract_map_cloud(state.map, cfg)
+        if surf.shape[0]:
+            viz.plot_map_cloud(np.concatenate([corner, surf]),
+                               os.path.join(args.out, "map.png"))
+        print(f"plots -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

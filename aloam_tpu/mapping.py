@@ -304,6 +304,33 @@ def _redownsample_cubes(xyz_cubes, int_cubes, cnt, slots, cube_coord, leaf,
     return xyz_cubes, int_cubes, cnt
 
 
+def extract_map_cloud(state: MapState, cfg: AloamConfig):
+    """Host-side full-map extraction — the /laser_cloud_map equivalent
+    (laserMapping.cpp:823-836). Returns (corner (N,3), surf (M,3)) numpy."""
+    import numpy as np
+
+    def grab(xyz, cnt, cap):
+        xyz = np.asarray(xyz)
+        cnt = np.asarray(cnt)
+        m = np.arange(cap)[None, :] < cnt[:, None]
+        return xyz[m]
+
+    return (grab(state.corner_xyz, state.corner_cnt, cfg.cube_corner_cap),
+            grab(state.surf_xyz, state.surf_cnt, cfg.cube_surf_cap))
+
+
+def extract_surround(state: MapState, cfg: AloamConfig):
+    """Host-side local-neighborhood extraction around the latest pose — the
+    /laser_cloud_surround equivalent (laserMapping.cpp:806-821)."""
+    import numpy as np
+
+    center_w = world_cube(state.t_w, cfg)
+    (c_xyz, c_mask), (s_xyz, s_mask), _, _ = _gather_local_map(
+        state, center_w, cfg)
+    return (np.asarray(c_xyz)[np.asarray(c_mask)],
+            np.asarray(s_xyz)[np.asarray(s_mask)])
+
+
 def mapping_step(state: MapState, corner_in: PointCloud,
                  surf_in: PointCloud, q_wodom, t_wodom,
                  cfg: AloamConfig):

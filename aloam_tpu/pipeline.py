@@ -111,7 +111,13 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
 def run_sequence(state: SlamState, xyz_seq: jnp.ndarray,
                  mask_seq: jnp.ndarray, cfg: AloamConfig):
     """`lax.scan` the fused step over a device-resident (F, n_raw, ·) scan
-    stack; returns (final state, stacked outputs). Zero host round-trips."""
+    stack; returns (final state, stacked outputs). Zero host round-trips.
+
+    Note: on the current TPU runtime the scan carry does not alias the big
+    map-cube buffers in place, so each iteration pays a full state copy —
+    for throughput, prefer a host loop over a donated `make_step_fn` (which
+    aliases via jit donation); this driver is kept for API completeness and
+    determinism tests."""
     def body(st, inp):
         x, m = inp
         return step(st, x, m, cfg)
