@@ -71,9 +71,22 @@ def main(argv=None):
                   for i, s in enumerate(scans))
         gt_t = traj.trans - traj.trans[0]
     else:
-        from aloam_tpu.io import kitti
-        frames = ((f.xyz, f.mask, f.timestamp) for f in
-                  kitti.iter_sequence(args.kitti, args.sequence, cfg.n_raw))
+        from aloam_tpu.io import kitti, native_loader
+        times_path, _, velo_dir = kitti.sequence_paths(args.kitti,
+                                                       args.sequence)
+        if native_loader.available():
+            times = np.loadtxt(times_path)
+            paths = [os.path.join(velo_dir, f"{i:06d}.bin")
+                     for i in range(len(np.atleast_1d(times)))]
+            pf = native_loader.Prefetcher(paths, cfg.n_raw, depth=4,
+                                          n_threads=2)
+            frames = ((xyz, mask, float(times[i]))
+                      for i, (xyz, mask, _refl) in enumerate(pf))
+            print("using native C++ prefetcher")
+        else:
+            frames = ((f.xyz, f.mask, f.timestamp) for f in
+                      kitti.iter_sequence(args.kitti, args.sequence,
+                                          cfg.n_raw))
 
     # ---- pipeline --------------------------------------------------------
     step = pipeline.make_step_fn(cfg)
