@@ -56,10 +56,22 @@ def init_state(cfg: AloamConfig) -> OdomState:
         initialized=jnp.asarray(False))
 
 
-def _transform_to_start(q, t, pts):
-    """TransformToStart with s = 1 (laserOdometry.cpp:111-129, DISTORTION 0):
-    map current-frame points into the last frame."""
-    return geo.qrot(q, pts) + t
+def _point_s(pc: PointCloud, cfg: AloamConfig):
+    """Per-point time fraction from the intensity encoding
+    (s = (intensity - int(intensity)) / SCAN_PERIOD, laserOdometry.cpp:116).
+    """
+    frac = pc.intensity - jnp.floor(pc.intensity)
+    return jnp.clip(frac / cfg.scan_period, 0.0, 1.0)
+
+
+def _transform_to_start(q, t, pts, s=None):
+    """TransformToStart (laserOdometry.cpp:111-129): map current-frame
+    points into the last frame; with DISTORTION the pose is interpolated
+    per point by its time fraction s."""
+    if s is None:  # DISTORTION 0 path: s = 1
+        return geo.qrot(q, pts) + t
+    qs, ts = solver._interp_pose(q, t, s)
+    return geo.qrot(qs, pts) + ts
 
 
 def edge_correspondences(sharp: PointCloud, last: PointCloud,
@@ -67,7 +79,8 @@ def edge_correspondences(sharp: PointCloud, last: PointCloud,
     """Corner correspondences (laserOdometry.cpp:299-384): 1-NN gated at
     25 m², plus the closest point on a *different* ring within ±2 rings
     (±NEARBY_SCAN = 2.5 on integer ring IDs), gated at 25 m²."""
-    sel = _transform_to_start(q, t, sharp.xyz)
+    s = _point_s(sharp, cfg) if cfg.distortion else None
+    sel = _transform_to_start(q, t, sharp.xyz, s)
     d2 = dist2_matrix(sel, last.xyz, last.mask)
     d2 = jnp.where(sharp.mask[:, None], d2, _INF)
     nn = jnp.argmin(d2, axis=1)
@@ -84,7 +97,7 @@ def edge_correspondences(sharp: PointCloud, last: PointCloud,
 
     valid = sharp.mask & gate1 & gate2
     return solver.EdgeFactors(p=sharp.xyz, a=last.xyz[nn],
-                              b=last.xyz[idx2], mask=valid)
+                              b=last.xyz[idx2], mask=valid, s=s)
 
 
 def plane_correspondences(flat: PointCloud, last: PointCloud,
@@ -93,7 +106,8 @@ def plane_correspondences(flat: PointCloud, last: PointCloud,
     closest *same-ring* point (minPointInd2) and closest point within ±2
     *other* rings (minPointInd3), both gated at 25 m²; the plane normal is
     (j−l)×(j−m) normalized (lidarFactor.hpp:64-65)."""
-    sel = _transform_to_start(q, t, flat.xyz)
+    s = _point_s(flat, cfg) if cfg.distortion else None
+    sel = _transform_to_start(q, t, flat.xyz, s)
     d2 = dist2_matrix(sel, last.xyz, last.mask)
     d2 = jnp.where(flat.mask[:, None], d2, _INF)
     nn = jnp.argmin(d2, axis=1)
@@ -126,7 +140,7 @@ def plane_correspondences(flat: PointCloud, last: PointCloud,
     # degenerate (collinear) triples produce a meaningless normal: drop them
     valid = valid & (n_norm[:, 0] > 1e-6)
     d = -jnp.sum(n * a, axis=-1)
-    return solver.PlaneFactors(p=flat.xyz, n=n, d=d, mask=valid)
+    return solver.PlaneFactors(p=flat.xyz, n=n, d=d, mask=valid, s=s)
 
 
 def odometry_step(state: OdomState, feats: ScanFeatures,

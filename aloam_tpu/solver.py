@@ -29,20 +29,25 @@ from aloam_tpu import geometry as geo
 
 class EdgeFactors(NamedTuple):
     """Point-to-line (LidarEdgeFactor, lidarFactor.hpp:12-55): residual
-    (3,) = (u−a)×(u−b)/‖a−b‖ with u = q·p + t."""
+    (3,) = (u−a)×(u−b)/‖a−b‖ with u = q_s·p + s·t, where q_s interpolates
+    identity→q by the per-point time fraction s (motion undistortion,
+    lidarFactor.hpp:26-33). s=None means the undistorted s≡1 path
+    (DISTORTION 0, the only one the reference exercises)."""
     p: jnp.ndarray      # (N, 3) current points
     a: jnp.ndarray      # (N, 3) line point a (last frame / map)
     b: jnp.ndarray      # (N, 3) line point b
     mask: jnp.ndarray   # (N,)
+    s: jnp.ndarray | None = None  # (N,) time fractions, or None for s=1
 
 
 class PlaneFactors(NamedTuple):
     """Point-to-plane (LidarPlaneFactor / LidarPlaneNormFactor,
-    lidarFactor.hpp:57-138): residual (1,) = n·(q·p + t) + d."""
+    lidarFactor.hpp:57-138): residual (1,) = n·(q_s·p + s·t) + d."""
     p: jnp.ndarray      # (N, 3)
     n: jnp.ndarray      # (N, 3) unit normal
     d: jnp.ndarray      # (N,)
     mask: jnp.ndarray   # (N,)
+    s: jnp.ndarray | None = None  # (N,) time fractions, or None for s=1
 
 
 class PointFactors(NamedTuple):
@@ -55,34 +60,65 @@ class PointFactors(NamedTuple):
     mask: jnp.ndarray
 
 
+def _interp_pose(q, t, s):
+    """Per-point pose interpolation identity→(q,t) by fraction s (N,):
+    slerp on the quaternion (matching Eigen's slerp in lidarFactor.hpp:29)
+    and linear scaling on the translation (:30)."""
+    n = s.shape[0]
+    qs = geo.slerp(jnp.broadcast_to(geo.qidentity(), (n, 4)),
+                   jnp.broadcast_to(q, (n, 4)), s)
+    return qs, s[:, None] * t
+
+
 def edge_residuals(f: EdgeFactors, q, t):
-    """Residual (N,3) and Jacobian (N,3,6) of the edge factor at (q, t)."""
-    u = geo.qrot(q, f.p) + t
+    """Residual (N,3) and Jacobian (N,3,6) of the edge factor at (q, t).
+
+    With per-point time fractions (motion undistortion) the residual uses
+    the exact slerp-interpolated pose; the Jacobian uses the standard
+    first-order scaling d(exp(s·log(exp(δ)q)))/dδ ≈ s·(…), which matches
+    autodiff to O(s(1-s)·|δθ|²) — negligible at LiDAR inter-frame rates.
+    """
+    if f.s is None:
+        u = geo.qrot(q, f.p) + t
+        rp = u - t  # = R p
+        j_scale = 1.0
+    else:
+        qs, ts = _interp_pose(q, t, f.s)
+        rp = geo.qrot(qs, f.p)
+        u = rp + ts
+        j_scale = f.s[:, None, None]
     dv = f.a - f.b
     inv_norm = 1.0 / jnp.maximum(jnp.linalg.norm(dv, axis=-1, keepdims=True),
                                  1e-12)
     r = jnp.cross(u - f.a, u - f.b) * inv_norm
     # dr/du = -[d]x / ||d||  (r = (u×d + a×b)/||d||)
     j_u = -geo.skew(dv) * inv_norm[..., None]
-    rp = u - t  # = R p
     # J_theta = J_u @ (-[Rp]x) = ([d]x [Rp]x)/||d|| = (rp d^T - (d.rp) I)/||d||
     # (closed form: avoids a 3x3 matmul that TPUs would run at bf16 precision)
     eye = jnp.eye(3, dtype=u.dtype)
     j_theta = (rp[:, :, None] * dv[:, None, :]
                - jnp.sum(dv * rp, axis=-1)[:, None, None] * eye) \
         * inv_norm[..., None]
-    jac = jnp.concatenate([j_theta, j_u], axis=-1)  # (N, 3, 6)
-    return r, jac
+    jac = jnp.concatenate([j_theta * j_scale, j_u * j_scale], axis=-1)
+    return r, jac  # (N, 3), (N, 3, 6)
 
 
 def plane_residuals(f: PlaneFactors, q, t):
     """Residual (N,1) and Jacobian (N,1,6) of the plane factor."""
-    u = geo.qrot(q, f.p) + t
+    if f.s is None:
+        u = geo.qrot(q, f.p) + t
+        rp = u - t
+        j_scale = 1.0
+    else:
+        qs, ts = _interp_pose(q, t, f.s)
+        rp = geo.qrot(qs, f.p)
+        u = rp + ts
+        j_scale = f.s[:, None]
     r = (jnp.sum(f.n * u, axis=-1) + f.d)[:, None]
-    rp = u - t
     # d r / d theta = -n^T [Rp]x = (Rp × n)^T
     j_theta = jnp.cross(rp, f.n)
-    jac = jnp.concatenate([j_theta, f.n], axis=-1)[:, None, :]
+    jac = jnp.concatenate([j_theta * j_scale,
+                           f.n * j_scale], axis=-1)[:, None, :]
     return r, jac
 
 

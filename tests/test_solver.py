@@ -160,3 +160,53 @@ def test_masked_factors_do_not_contribute(rng):
                                 jnp.zeros(3), 8)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+
+
+def test_distortion_residual_and_jacobian(rng):
+    """With per-point time fractions the residual must equal the exact
+    slerp-interpolated transform (lidarFactor.hpp:26-33), and the scaled
+    Jacobian must match autodiff to first order."""
+    from aloam_tpu import geometry as geo2
+
+    q, t = _rand_pose(rng, scale_r=0.05, scale_t=0.3)  # realistic 10 Hz rates
+    s = jnp.asarray(rng.uniform(0, 1, size=6), jnp.float32)
+    f = solver.EdgeFactors(
+        p=jnp.asarray(rng.normal(size=(6, 3)), jnp.float32),
+        a=jnp.asarray(rng.normal(size=(6, 3)), jnp.float32),
+        b=jnp.asarray(rng.normal(size=(6, 3)), jnp.float32),
+        mask=jnp.ones(6, bool), s=s)
+    r, jac = solver.edge_residuals(f, q, t)
+
+    # manual exact slerp transform
+    qs = geo2.slerp(jnp.broadcast_to(geo2.qidentity(), (6, 4)),
+                    jnp.broadcast_to(q, (6, 4)), s)
+    u = geo2.qrot(qs, f.p) + s[:, None] * t
+    dv = np.asarray(f.a - f.b)
+    nu = np.cross(np.asarray(u - f.a), np.asarray(u - f.b))
+    ref = nu / np.linalg.norm(dv, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(r), ref, atol=1e-5)
+
+    jac_ad = _tangent_jacfwd(lambda qq, tt: solver.edge_residuals(
+        f, qq, tt)[0], q, t)
+    # translation block of the Jacobian is exact (d u / d t = s I);
+    # the rotation block uses the first-order s-scaling, accurate to
+    # O(s(1-s)|theta|) relative — ~6% at 0.09 rad, irrelevant for the
+    # solver's fixed point (residuals are exact)
+    np.testing.assert_allclose(np.asarray(jac)[:, :, 3:],
+                               np.asarray(jac_ad)[:, :, 3:], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jac)[:, :, :3],
+                               np.asarray(jac_ad)[:, :, :3], atol=3e-2)
+
+
+def test_distortion_s_one_matches_undistorted(rng):
+    q, t = _rand_pose(rng, 0.2, 0.5)
+    p = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    f0 = solver.EdgeFactors(p=p, a=a, b=b, mask=jnp.ones(5, bool))
+    f1 = solver.EdgeFactors(p=p, a=a, b=b, mask=jnp.ones(5, bool),
+                            s=jnp.ones(5, jnp.float32))
+    r0, j0 = solver.edge_residuals(f0, q, t)
+    r1, j1 = solver.edge_residuals(f1, q, t)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j0), np.asarray(j1), atol=1e-4)
