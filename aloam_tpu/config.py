@@ -72,21 +72,18 @@ class AloamConfig:
     n_raw: int = 131072                 # raw input points per scan (padded)
     ring_cap: int = 2560                # max points per ring after bucketing
     less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
-    cube_corner_cap: int = 1024         # corner points per map cube
-    cube_surf_cap: int = 6144           # surf points per map cube (a 50 m
-    # ground cube holds ~3.9k voxels at the 0.8 m plane resolution; walls
-    # and clutter in the same cube need headroom — undersized cubes truncate
-    # in insertion order, which spatially biases the map)
     corner_stack_cap: int = 4096        # downsampled input corner stack
     surf_stack_cap: int = 24576         # downsampled input surf stack
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
-    # spatial-hash gated 5-NN (mapping associations); the 2x2x2-cell query
-    # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq)
+    # persistent spatial-hash map (ops/gridmap.py): the 2x2x2-cell query
+    # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq); bucket caps
+    # must hold a cell's worst-case voxel count (cell/leaf + 1)^2-ish for
+    # surfaces plus clutter
     knn_cell: float = 2.0
-    knn_table_corner: int = 8192
-    knn_table_surf: int = 16384
-    knn_bucket_corner: int = 32
-    knn_bucket_surf: int = 48
+    map_table_corner: int = 16384
+    map_table_surf: int = 32768
+    map_bucket_corner: int = 32
+    map_bucket_surf: int = 48
 
     # exact region-sequential NMS (reference semantics) vs parallel regions
     sequential_regions: bool = True
@@ -109,19 +106,6 @@ class AloamConfig:
     def region_cap(self) -> int:
         # max points per (ring, region): ceil(ring_cap / n_regions), padded
         return _round_up(-(-self.ring_cap // self.n_regions) + 1, 8)
-
-    @property
-    def n_cubes(self) -> int:
-        return self.cube_width * self.cube_height * self.cube_depth
-
-    @property
-    def from_map_corner_cap(self) -> int:
-        # 5x5x3 local cube neighborhood, compacted (laserMapping.cpp:512-529)
-        return _round_up(min(75 * self.cube_corner_cap, 16384), 128)
-
-    @property
-    def from_map_surf_cap(self) -> int:
-        return _round_up(min(75 * self.cube_surf_cap, 32768), 128)
 
     @property
     def knn_radius(self) -> float:

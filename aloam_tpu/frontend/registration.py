@@ -103,14 +103,15 @@ def bucket_rings(xyz: jnp.ndarray, intensity: jnp.ndarray,
                               jnp.cumsum(cnt).astype(jnp.int32)])
 
     # fill the (R, C) grid by gather inversion: slot (r, j) reads sorted row
-    # starts[r] + j when j < cnt[r] (scatter-free; see ops/hashgrid.py)
+    # starts[r] + j when j < cnt[r] (scatter-free gather inversion); xyz and
+    # intensity travel fused so each permutation is one wide gather
     jj = jnp.arange(ring_cap, dtype=jnp.int32)[None, :]
     src = jnp.clip(starts[:scan_lines][:, None] + jj, 0, n - 1).reshape(-1)
     occupied = (jj < cnt[:, None]).reshape(-1)
-    xyz_s = xyz[order]
-    int_s = intensity[order]
-    flat_xyz = jnp.where(occupied[:, None], xyz_s[src], 0.0)
-    flat_int = jnp.where(occupied, int_s[src], 0.0)
+    fused = jnp.concatenate([xyz, intensity[:, None]], axis=1)
+    fused_s = fused[order][src]
+    flat_xyz = jnp.where(occupied[:, None], fused_s[:, :3], 0.0)
+    flat_int = jnp.where(occupied, fused_s[:, 3], 0.0)
 
     cnt_clamped = jnp.minimum(cnt, ring_cap).astype(jnp.int32)
     overflow = jnp.sum(cnt - cnt_clamped)

@@ -1,42 +1,19 @@
-"""Mapping-stage unit tests: cube addressing, insert/gather/reclaim,
-PCA line fit, LSQ plane fit."""
+"""Mapping-stage unit tests: persistent-grid map maintenance, PCA line fit,
+LSQ plane fit, map-minimum guard."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from aloam_tpu import geometry as geo
 from aloam_tpu import mapping, solver
 from aloam_tpu.config import AloamConfig
+from aloam_tpu.ops import gridmap
 from aloam_tpu.types import PointCloud
 
 
 CFG = AloamConfig(n_raw=1024, ring_cap=256, less_flat_cap=1024,
-                  cube_corner_cap=128, cube_surf_cap=128,
+                  map_table_corner=2048, map_table_surf=4096,
                   corner_stack_cap=256, surf_stack_cap=256)
-
-
-def test_world_cube_matches_reference_formula():
-    # int((x+25)/50) with decrement when x+25 < 0  (laserMapping.cpp:312-321)
-    xs = np.array([0.0, 24.9, 25.1, -24.9, -25.1, -75.0, 100.0, -100.0])
-    ref = []
-    for x in xs:
-        i = int((x + 25.0) / 50.0)
-        if x + 25.0 < 0:
-            i -= 1
-        ref.append(i)
-    got = mapping.world_cube(
-        jnp.stack([jnp.asarray(xs, jnp.float32)] * 3, axis=-1), CFG)
-    np.testing.assert_array_equal(np.asarray(got[:, 0]), ref)
-
-
-def test_cube_slot_unique_within_window():
-    # all cubes in a 21x21x11 window map to distinct slots
-    w = np.stack(np.meshgrid(np.arange(-10, 11), np.arange(-10, 11),
-                             np.arange(-5, 6), indexing="ij"),
-                 axis=-1).reshape(-1, 3)
-    slots = np.asarray(mapping.cube_slot(jnp.asarray(w, jnp.int32), CFG))
-    assert len(np.unique(slots)) == CFG.n_cubes
 
 
 def _pc(xyz, cap):
@@ -57,47 +34,45 @@ def test_insert_gather_roundtrip(rng):
     surf = _pc(pts + 0.05, CFG.surf_stack_cap)
     state2, metrics = mapping.mapping_step(
         state, corner, surf, geo.qidentity(), jnp.zeros(3), CFG)
-    # all inserted points must be gatherable around the origin
-    (c_xyz, c_mask), (s_xyz, s_mask), _, _ = mapping._gather_local_map(
-        state2, mapping.world_cube(jnp.zeros(3), CFG), CFG)
-    got = np.asarray(c_xyz)[np.asarray(c_mask)]
+    got, _ = gridmap.extract(state2.corner)
     # identity pose, voxel downsample(0.4) of 100 well-separated points
     assert got.shape[0] > 90
     d = np.abs(got[:, None] - pts[None]).sum(-1).min(1)
     assert d.max() < 0.4  # voxel centroids stay within a leaf
 
 
-def test_reclaim_clears_both_classes(rng):
-    state = mapping.init_state(CFG)
-    pts_a = rng.uniform(-10, 10, size=(50, 3)).astype(np.float32)
-    corner = _pc(pts_a, CFG.corner_stack_cap)
-    surf = _pc(pts_a, CFG.surf_stack_cap)
+def test_window_eviction_discards_far_map(rng):
+    """Entries far outside the rolling window are evicted under bucket
+    pressure (the reference's recenter-discard, laserMapping.cpp:345-346)."""
+    cfg = CFG.replace(map_table_surf=8, map_bucket_surf=4)
+    state = mapping.init_state(cfg)
+    pts_a = rng.uniform(-10, 10, size=(40, 3)).astype(np.float32)
+    corner = _pc(pts_a, cfg.corner_stack_cap)
+    surf = _pc(pts_a, cfg.surf_stack_cap)
     state, _ = mapping.mapping_step(state, corner, surf, geo.qidentity(),
-                                    jnp.zeros(3), CFG)
-    assert int(state.corner_cnt.sum()) > 0
+                                    jnp.zeros(3), cfg)
+    n_before = int(gridmap.n_valid(state.surf))
+    assert n_before > 0
 
-    # the sensor moves exactly one full window in x -> same toroidal slots;
-    # inputs are sensor-frame, so reuse pts_a with the shifted odom pose
-    shift = CFG.cube_width * CFG.cube_size
-    t_odom = jnp.asarray([shift, 0.0, 0.0], jnp.float32)
-    state, _ = mapping.mapping_step(state, corner, surf,
-                                    geo.qidentity(), t_odom, CFG)
-
-    # gather around the new location: only shifted points, no stale A points
-    (c_xyz, c_mask), (s_xyz, s_mask), _, _ = mapping._gather_local_map(
-        state, mapping.world_cube(t_odom, CFG), CFG)
-    got = np.asarray(c_xyz)[np.asarray(c_mask)]
-    assert got.shape[0] > 0
-    assert got[:, 0].min() > shift - 60  # nothing from the old window
-    got_s = np.asarray(s_xyz)[np.asarray(s_mask)]
-    assert got_s[:, 0].min() > shift - 60
+    # sensor leaps far beyond the window; new inserts collide in the tiny
+    # table and must evict stale entries rather than drop new ones
+    t_far = jnp.asarray([5000.0, 0.0, 0.0], jnp.float32)
+    state, m = mapping.mapping_step(state, corner, surf, geo.qidentity(),
+                                    t_far, cfg)
+    pts_now, _ = gridmap.extract(state.surf)
+    assert (pts_now[:, 0] > 4000).sum() > 0  # new region present
+    assert int(m.evicted) > 0
 
 
-def _grid(map_pts, table):
-    from aloam_tpu.ops import hashgrid
-    m = jnp.ones(map_pts.shape[0], bool)
-    return hashgrid.build(jnp.asarray(map_pts), m, CFG.knn_cell, table,
-                          CFG.knn_bucket_surf)
+def _grid(map_pts):
+    g = gridmap.empty(4096, 64)
+    n = map_pts.shape[0]
+    g, _, _, _, dropped = gridmap.insert(
+        g, jnp.asarray(map_pts, jnp.float32), jnp.zeros(n, jnp.float32),
+        jnp.ones(n, bool), 1e-3, CFG.knn_cell,
+        jnp.zeros(3, jnp.int32), jnp.asarray([500] * 3, jnp.int32))
+    assert int(dropped) == 0
+    return g
 
 
 def test_corner_association_finds_line(rng):
@@ -107,8 +82,7 @@ def test_corner_association_finds_line(rng):
     map_pts += rng.normal(scale=0.01, size=map_pts.shape).astype(np.float32)
     q_pts = np.array([[1.02, 2.01, 1.5]], np.float32)
     f = mapping.corner_associations(
-        jnp.asarray(q_pts), jnp.ones(1, bool),
-        _grid(map_pts, CFG.knn_table_corner),
+        jnp.asarray(q_pts), jnp.ones(1, bool), _grid(map_pts),
         geo.qidentity(), jnp.zeros(3), CFG)
     assert bool(f.mask[0])
     direction = np.asarray(f.a[0] - f.b[0])
@@ -124,8 +98,7 @@ def test_surf_association_finds_plane(rng):
                              -1).astype(np.float32)
     q_pts = np.array([[0.1, -0.2, 0.52]], np.float32)
     f = mapping.surf_associations(
-        jnp.asarray(q_pts), jnp.ones(1, bool),
-        _grid(map_pts, CFG.knn_table_surf),
+        jnp.asarray(q_pts), jnp.ones(1, bool), _grid(map_pts),
         geo.qidentity(), jnp.zeros(3), CFG)
     assert bool(f.mask[0])
     n = np.asarray(f.n[0])
@@ -139,14 +112,14 @@ def test_plane_fit_matches_lstsq(rng):
     """The 3x3 normal-equation plane fit equals colPivHouseholderQr-style
     least squares (laserMapping.cpp:663)."""
     for _ in range(20):
-        # tight cluster so the gated 5-NN (1.0 m²) finds all five points
+        # tight cluster so the gated 5-NN (1.0 m2) finds all five points
         near = rng.uniform(-0.3, 0.3, size=(5, 3))
         near[:, 2] = 0.3 * near[:, 0] - 0.2 * near[:, 1] + 1.0 \
             + rng.normal(scale=0.02, size=5)
         n_ref, *_ = np.linalg.lstsq(near, -np.ones(5), rcond=None)
         f = mapping.surf_associations(
             jnp.asarray(near[:1], jnp.float32), jnp.ones(1, bool),
-            _grid(near.astype(np.float32), CFG.knn_table_surf),
+            _grid(near.astype(np.float32)),
             geo.qidentity(), jnp.zeros(3), CFG)
         n_hat_ref = n_ref / np.linalg.norm(n_ref)
         dot = abs(float(np.dot(np.asarray(f.n[0]), n_hat_ref)))

@@ -1,9 +1,9 @@
-"""Tests for the closed-form 3x3 linalg and the spatial-hash gated k-NN."""
+"""Tests for the closed-form 3x3 linalg and the persistent map grid."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from aloam_tpu.ops import hashgrid
+from aloam_tpu.ops import gridmap
 from aloam_tpu.ops.linalg3 import eigh3, solve3
 
 
@@ -38,52 +38,95 @@ def test_eigh3_degenerate_is_finite():
     np.testing.assert_allclose(np.asarray(vals), 2.0, atol=1e-5)
 
 
-def _dense_gated_knn(q, pts, mask, k, gate):
+def _grid_from_points(pts, table=16384, bucket=48, leaf=1e-3):
+    """Insert raw points with a tiny leaf so nothing merges."""
+    g = gridmap.empty(table, bucket)
+    pts_j = jnp.asarray(pts, jnp.float32)
+    g, merged, appended, evicted, dropped = gridmap.insert(
+        g, pts_j, jnp.zeros(pts.shape[0], jnp.float32),
+        jnp.ones(pts.shape[0], bool), leaf, 2.0,
+        jnp.zeros(3, jnp.int32), jnp.asarray([500, 500, 500], jnp.int32))
+    assert int(dropped) == 0 and int(merged) == 0
+    return g
+
+
+def _dense_gated_knn(q, pts, k):
     d2 = ((q[:, None] - pts[None]) ** 2).sum(-1)
-    d2[:, ~mask] = np.inf
     idx = np.argsort(d2, axis=1)[:, :k]
-    top = np.take_along_axis(d2, idx, axis=1)
-    return top, idx
+    return np.take_along_axis(d2, idx, axis=1), idx
 
 
-def test_hash_knn_matches_dense_when_gated(rng):
+def test_grid_knn_matches_dense_when_gated(rng):
     pts = rng.uniform(-30, 30, size=(4000, 3)).astype(np.float32)
-    mask = rng.uniform(size=4000) > 0.1
     q = (pts[rng.integers(0, 4000, size=300)]
          + rng.normal(scale=0.3, size=(300, 3))).astype(np.float32)
 
-    grid = hashgrid.build(jnp.asarray(pts), jnp.asarray(mask), 2.0,
-                          16384, 48)
-    assert int(grid.overflow) == 0
-    d2, nbrs = hashgrid.knn(grid, jnp.asarray(q), 5, 2.0, 16384, 1.0)
+    grid = _grid_from_points(pts)
+    d2, nbrs = gridmap.knn(grid, jnp.asarray(q), 5, 2.0, 1.0)
     d2 = np.asarray(d2)
     nbrs = np.asarray(nbrs)
 
-    ref_d2, ref_idx = _dense_gated_knn(q, pts, mask, 5, 1.0)
+    ref_d2, ref_idx = _dense_gated_knn(q, pts, 5)
     for i in range(300):
         if ref_d2[i, 4] < 1.0:  # the gate the mapping stage applies
             np.testing.assert_allclose(d2[i], ref_d2[i], rtol=1e-4,
                                        atol=1e-5)
-            np.testing.assert_allclose(
-                nbrs[i], pts[ref_idx[i]], atol=1e-5)
+            np.testing.assert_allclose(nbrs[i], pts[ref_idx[i]], atol=1e-5)
         else:
-            # gate must fail identically (5th neighbor beyond the cell
-            # neighborhood reach or absent)
             assert not (d2[i, 4] < 1.0)
 
 
-def test_hash_knn_no_duplicate_candidates(rng):
-    # densely repeated structure stressing bucket sharing
-    base = rng.uniform(-5, 5, size=(50, 3)).astype(np.float32)
-    pts = np.concatenate([base + np.array([dx, 0, 0], np.float32)
-                          for dx in range(0, 40, 2)])
-    mask = np.ones(pts.shape[0], bool)
-    grid = hashgrid.build(jnp.asarray(pts), jnp.asarray(mask), 2.0, 1024, 96)
+def test_grid_insert_merges_voxel_centroids(rng):
+    """Two same-voxel inserts across frames must produce the iterated
+    centroid the reference's re-voxelization computes."""
+    g = gridmap.empty(1024, 16)
+    p1 = np.array([[1.05, 2.05, 0.55]], np.float32)
+    p2 = np.array([[1.15, 2.1, 0.5]], np.float32)  # same 0.8 voxel
+    center = jnp.zeros(3, jnp.int32)
+    win = jnp.asarray([500, 500, 500], jnp.int32)
+    one = jnp.ones(1, bool)
+    g, m1, a1, _, _ = gridmap.insert(g, jnp.asarray(p1), jnp.ones(1), one,
+                                     0.8, 2.0, center, win)
+    assert int(m1) == 0 and int(a1) == 1
+    g, m2, a2, _, _ = gridmap.insert(g, jnp.asarray(p2), jnp.zeros(1), one,
+                                     0.8, 2.0, center, win)
+    assert int(m2) == 1 and int(a2) == 0
+    pts, inten = gridmap.extract(g)
+    assert pts.shape == (1, 3)
+    np.testing.assert_allclose(pts[0], 0.5 * (p1[0] + p2[0]), atol=1e-6)
+    np.testing.assert_allclose(inten[0], 0.5, atol=1e-6)
+
+
+def test_grid_eviction_prefers_out_of_window(rng):
+    """With a full bucket, far out-of-window entries are evicted first."""
+    g = gridmap.empty(1, 4)  # single bucket: everything collides
+    center = jnp.zeros(3, jnp.int32)
+    win = jnp.asarray([5, 5, 5], jnp.int32)  # +-5 cells of 2 m
+    one = jnp.ones(1, bool)
+
+    def put(g, p):
+        return gridmap.insert(g, jnp.asarray([p], jnp.float32),
+                              jnp.zeros(1), one, 0.1, 2.0, center, win)
+
+    g, *_ = put(g, [100.0, 0, 0])     # far outside the window
+    g, *_ = put(g, [1.0, 0, 0])
+    g, *_ = put(g, [2.0, 1, 0])
+    g, *_ = put(g, [3.0, 0, 1])
+    g, _, _, ev, _ = put(g, [4.0, 1, 1])  # bucket full -> evict the far one
+    assert int(ev) == 1
+    pts, _ = gridmap.extract(g)
+    assert pts.shape[0] == 4
+    assert pts[:, 0].max() < 50.0  # the out-of-window entry is gone
+
+
+def test_grid_no_duplicate_candidates(rng):
+    pts = rng.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    grid = _grid_from_points(pts, table=256, bucket=96)
     q = pts[:100] + 0.01
-    d2, nbrs = hashgrid.knn(grid, jnp.asarray(q), 5, 2.0, 1024, 1.0)
+    d2, nbrs = gridmap.knn(grid, jnp.asarray(q), 5, 2.0, 1.0)
     nbrs = np.asarray(nbrs)
     d2 = np.asarray(d2)
     for i in range(100):
-        got = nbrs[i][np.isfinite(d2[i])]
+        got = nbrs[i][d2[i] < 1.0]  # the gated set must be duplicate-free
         uniq = np.unique(np.round(got, 5), axis=0)
         assert uniq.shape[0] == got.shape[0], f"duplicates at query {i}"

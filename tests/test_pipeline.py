@@ -11,17 +11,13 @@ from aloam_tpu.eval import ate_rmse
 from aloam_tpu.io import synthetic as syn
 
 
-# capacities must be *feasible*: a ground cube holds ~(cube_size/leaf)^2
-# surf voxels, and an undersized cube truncates in insertion (lexicographic)
-# order, which spatially biases the map and drags the mapping solve. The
-# plane resolution must also stay below the 1.0 m NN-gate radius or surf
-# factors can never find 5 gated neighbors. Here: 25 m cubes at 0.8 m leaf
-# -> ~977 voxels/ground-cube <= 2048.
+# note: plane_resolution must stay below the 1.0 m NN-gate radius or surf
+# factors can never find 5 gated neighbors
 CFG = AloamConfig(
     scan_lines=64, minimum_range=5.0,
-    line_resolution=0.4, plane_resolution=0.8, cube_size=25.0,
+    line_resolution=0.4, plane_resolution=0.8,
     n_raw=57344, ring_cap=1152, less_flat_cap=24576,
-    cube_corner_cap=512, cube_surf_cap=2048,
+    map_table_corner=8192, map_table_surf=16384,
     corner_stack_cap=2048, surf_stack_cap=8192,
 )
 N_FRAMES = 8

@@ -13,9 +13,9 @@ from aloam_tpu.parallel import (batched_init, batched_step_fn, make_mesh,
 
 CFG = AloamConfig(
     scan_lines=16, minimum_range=0.3,
-    line_resolution=0.2, plane_resolution=0.4, cube_size=12.5,
+    line_resolution=0.2, plane_resolution=0.4,
     n_raw=4096, ring_cap=256, less_flat_cap=2048,
-    cube_corner_cap=64, cube_surf_cap=128,
+    map_table_corner=1024, map_table_surf=2048,
     corner_stack_cap=256, surf_stack_cap=1024,
 )
 
