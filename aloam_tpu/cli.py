@@ -104,16 +104,18 @@ def main(argv=None):
                 break
             t_frame = TicToc()
             state, out = step(state, jnp.asarray(xyz), jnp.asarray(mask))
-            m = jax.device_get(out.metrics)
+            # one fused transfer per frame (device->host round-trips through
+            # the TPU tunnel cost ~0.1 s each)
+            packed = np.asarray(jnp.concatenate(
+                [out.t_odom, out.t_map, out.q_map, out.t_hf, out.metrics]))
             wall = t_frame.toc()
-            traj_odom.append(np.asarray(out.t_odom))
-            traj_map.append(np.concatenate(
-                [np.asarray(out.t_map), np.asarray(out.q_map)]))
-            traj_hf.append(np.asarray(out.t_hf))
+            traj_odom.append(packed[0:3])
+            traj_map.append(packed[3:10])
+            traj_hf.append(packed[10:13])
+            m = dict(zip(pipeline.METRIC_NAMES, packed[13:].tolist()))
             stamps.append(ts)
             rec = {"frame": i, "t": ts, "wall_ms": round(wall, 2)}
-            rec.update({k: (float(v) if hasattr(v, "ndim") else v)
-                        for k, v in m.items()})
+            rec.update(m)
             mf.write(json.dumps(rec) + "\n")
             if (m["corner_corr"] + m["plane_corr"]) < 10 and i > 0:
                 print(f"frame {i}: less correspondence! "
