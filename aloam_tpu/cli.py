@@ -127,8 +127,14 @@ def main(argv=None):
 
     n = len(traj_map)
     total_ms = t_all.toc()
+    walls = []
+    with open(metrics_path) as mf2:
+        for line in mf2:
+            walls.append(json.loads(line)["wall_ms"])
+    steady = float(np.median(walls)) if walls else 0.0
     print(f"{n} frames in {total_ms / 1e3:.1f}s "
-          f"({n / max(total_ms / 1e3, 1e-9):.1f} scans/s incl. host loop)")
+          f"(median {steady:.0f} ms/scan = {1e3 / max(steady, 1e-9):.1f} "
+          f"scans/s; first frame includes compilation)")
 
     # ---- outputs ---------------------------------------------------------
     tm = np.stack(traj_map)
