@@ -85,9 +85,6 @@ class AloamConfig:
     map_bucket_corner: int = 32
     map_bucket_surf: int = 48
 
-    # exact region-sequential NMS (reference semantics) vs parallel regions
-    sequential_regions: bool = True
-
     # --- derived capacities ---------------------------------------------
     @property
     def sharp_cap(self) -> int:
@@ -131,6 +128,6 @@ PRESETS: dict[str, AloamConfig] = {
     "HDL-64": AloamConfig(
         scan_lines=64, minimum_range=5.0,
         line_resolution=0.4, plane_resolution=0.8,
-        n_raw=131072, ring_cap=2560, less_flat_cap=49152,
+        n_raw=131072, ring_cap=2560, less_flat_cap=40960,
     ),
 }

@@ -111,7 +111,7 @@ def _select_rings(pts, curv, cnt, cfg: AloamConfig):
         # b at the candidate via a masked reduction (gather-free)
         b_cand = jnp.sum(bcum_f * at_cand.astype(jnp.float32), axis=1,
                          keepdims=True)
-        mark_f = (jnp.abs(d) <= 5.0).astype(jnp.float32) \
+        mark_f = (jnp.abs(d) <= float(cfg.nms_window)).astype(jnp.float32) \
             * ((bcum_f - b_cand) == 0.0).astype(jnp.float32) * nbr_f
         picked = picked | (mark_f > 0)
         return picked, label
