@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--plots", action="store_true",
                    help="write trajectory/map PNGs at the end")
     p.add_argument("--mapping-skip-frame", type=int, default=None)
+    p.add_argument("--skip-first", type=int, default=0,
+                   help="discard the first N scans (the reference's "
+                        "systemDelay, scanRegistration.cpp:62)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -98,6 +101,8 @@ def main(argv=None):
     metrics_path = os.path.join(args.out, "metrics.jsonl")
     traj_odom, traj_map, traj_hf, stamps = [], [], [], []
     t_all = TicToc()
+    import itertools
+    frames = itertools.islice(frames, args.skip_first, None)
     with open(metrics_path, "w") as mf:
         for i, (xyz, mask, ts) in enumerate(frames):
             if i >= args.frames:

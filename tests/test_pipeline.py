@@ -78,3 +78,43 @@ def test_scan_driver_matches_step_loop(seq):
         state2, xyz_seq, mask_seq)
     np.testing.assert_allclose(np.asarray(outs.t_map), np.stack(ts),
                                atol=1e-4)
+
+
+def test_checkpoint_resume_continues_identically(seq, tmp_path):
+    """Saving the SLAM state and resuming must reproduce the uninterrupted
+    trajectory (the reference has no persistence at all — SURVEY.md §5)."""
+    from aloam_tpu.utils import checkpoint as ckpt
+
+    scans, _ = seq
+    step = pipeline.make_step_fn(CFG, donate=False)
+
+    state = pipeline.init_state(CFG)
+    maps = []
+    for i in range(4):
+        xyz, mask = syn.pad_scan(scans[i], CFG.n_raw)
+        state, out = step(state, jnp.asarray(xyz), jnp.asarray(mask))
+        maps.append(np.asarray(out.t_map))
+        if i == 1:
+            path = str(tmp_path / "state.npz")
+            ckpt.save(path, state)
+
+    resumed = ckpt.load(path, pipeline.init_state(CFG))
+    for i in range(2, 4):
+        xyz, mask = syn.pad_scan(scans[i], CFG.n_raw)
+        resumed, out = step(resumed, jnp.asarray(xyz), jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(out.t_map), maps[i], atol=1e-5)
+
+
+def test_distortion_pipeline_smoke(seq):
+    """cfg.distortion=True (the reference's compiled-out DISTORTION path)
+    must compile and track on undistorted data (s-interpolation is a no-op
+    bias-free refinement when scans are pre-undistorted)."""
+    scans, traj = seq
+    cfg = CFG.replace(distortion=True)
+    step = pipeline.make_step_fn(cfg, donate=False)
+    state = pipeline.init_state(cfg)
+    for i in range(3):
+        xyz, mask = syn.pad_scan(scans[i], cfg.n_raw)
+        state, out = step(state, jnp.asarray(xyz), jnp.asarray(mask))
+    gt = traj.trans[2] - traj.trans[0]
+    assert np.linalg.norm(np.asarray(out.t_odom) - gt) < 0.2
