@@ -72,15 +72,17 @@ def main(argv=None):
             args.frames, scan_lines=cfg.scan_lines, seed=7, speed=args.speed)
         frames = ((syn.pad_scan(s, cfg.n_raw) + (float(i) * 0.1,))
                   for i, s in enumerate(scans))
-        gt_t = traj.trans - traj.trans[0]
+        # --skip-first drops leading scans: drop the matching GT rows so
+        # estimated frame i compares against gt frame i+skip, re-anchored
+        gt_t = traj.trans[args.skip_first:] - traj.trans[args.skip_first]
     else:
         from aloam_tpu.io import kitti, native_loader
         times_path, _, velo_dir = kitti.sequence_paths(args.kitti,
                                                        args.sequence)
         if native_loader.available():
-            times = np.loadtxt(times_path)
+            times = np.atleast_1d(np.loadtxt(times_path))
             paths = [os.path.join(velo_dir, f"{i:06d}.bin")
-                     for i in range(len(np.atleast_1d(times)))]
+                     for i in range(len(times))]
             pf = native_loader.Prefetcher(paths, cfg.n_raw, depth=4,
                                           n_threads=2)
             frames = ((xyz, mask, float(times[i]))

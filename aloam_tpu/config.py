@@ -35,6 +35,8 @@ class AloamConfig:
     plane_resolution: float = 0.8       # `mapping_plane_resolution` [m]
     scan_period: float = 0.1            # scanRegistration.cpp:60
     distortion: bool = False            # laserOdometry.cpp:59 (DISTORTION 0)
+    emit_registered: bool = False       # /velodyne_cloud_registered output
+                                        # (laserMapping.cpp:838-848)
 
     # --- feature extraction (scanRegistration.cpp) ---------------------
     curvature_threshold: float = 0.1    # :297,:352
@@ -75,6 +77,8 @@ class AloamConfig:
     corner_stack_cap: int = 4096        # downsampled input corner stack
     surf_stack_cap: int = 24576         # downsampled input surf stack
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
+    map_query_chunk: int = 0            # gridmap.knn query chunking (0 = off;
+                                        # set for batched streams, see knn doc)
     # persistent spatial-hash map (ops/gridmap.py): the 2x2x2-cell query
     # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq); bucket caps
     # must hold a cell's worst-case voxel count (cell/leaf + 1)^2-ish for

@@ -55,3 +55,62 @@ def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1):
     d_g = gt[delta:] - gt[:-delta]
     err = np.linalg.norm(d_e - d_g, axis=1)
     return float(np.sqrt((err ** 2).mean())), err
+
+
+def _q_rel_angle(qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Rotation angle [rad] between wxyz quaternion arrays (N,4)."""
+    dot = np.abs(np.sum(qa * qb, axis=-1))
+    n = np.linalg.norm(qa, axis=-1) * np.linalg.norm(qb, axis=-1)
+    return 2.0 * np.arccos(np.clip(dot / np.maximum(n, 1e-12), -1.0, 1.0))
+
+
+def rpe_rot(est_q: np.ndarray, gt_q: np.ndarray, delta: int = 1):
+    """Rotational relative pose error at frame spacing delta.
+
+    est_q, gt_q: (N, 4) wxyz quaternions. The per-step error is the angle of
+    (dq_est^-1 · dq_gt) where dq = q_i^-1 · q_{i+delta}; for unit quaternions
+    that angle equals the angle between dq_est and dq_gt. Returns
+    (rmse_deg, per-step errors in degrees)."""
+    def qmul(a, b):
+        w1, x1, y1, z1 = a.T
+        w2, x2, y2, z2 = b.T
+        return np.stack([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], axis=-1)
+
+    def conj(q):
+        return q * np.array([1.0, -1, -1, -1])
+
+    est_q = np.asarray(est_q, np.float64)
+    gt_q = np.asarray(gt_q, np.float64)
+    d_e = qmul(conj(est_q[:-delta]), est_q[delta:])
+    d_g = qmul(conj(gt_q[:-delta]), gt_q[delta:])
+    err = np.degrees(_q_rel_angle(d_e, d_g))
+    return float(np.sqrt((err ** 2).mean())), err
+
+
+def kitti_drift(est: np.ndarray, gt: np.ndarray,
+                lengths=(100, 200, 300, 400, 500, 600, 700, 800)):
+    """KITTI odometry translational drift [%]: for every start frame and
+    every segment length L (by GT arc length), the endpoint translation
+    error of the GT-anchored relative motion, as a percentage of L;
+    averaged over all segments (Geiger et al. CVPR 2012 convention,
+    translation part). Returns (mean_pct or nan, n_segments)."""
+    est = np.asarray(est, np.float64)
+    gt = np.asarray(gt, np.float64)
+    dist = np.concatenate([[0.0], np.cumsum(
+        np.linalg.norm(np.diff(gt, axis=0), axis=1))])
+    errs = []
+    for L in lengths:
+        for i in range(len(gt)):
+            j = np.searchsorted(dist, dist[i] + L)
+            if j >= len(gt):
+                break
+            d_e = est[j] - est[i]
+            d_g = gt[j] - gt[i]
+            errs.append(np.linalg.norm(d_e - d_g) / L * 100.0)
+    if not errs:
+        return float("nan"), 0
+    return float(np.mean(errs)), len(errs)

@@ -214,6 +214,91 @@ def render_scan(world: World, q_wxyz: np.ndarray, t_xyz: np.ndarray,
     return out.astype(np.float32)
 
 
+def _np_slerp(q0: np.ndarray, q1: np.ndarray, s: float) -> np.ndarray:
+    """Quaternion slerp (wxyz), shortest arc."""
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 1 - 1e-9:
+        out = q0 + s * (q1 - q0)
+        return out / np.linalg.norm(out)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    return (np.sin((1 - s) * th) * q0 + np.sin(s * th) * q1) / np.sin(th)
+
+
+def _q_to_R(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def render_scan_distorted(world: World, q0: np.ndarray, t0: np.ndarray,
+                          q1: np.ndarray, t1: np.ndarray,
+                          scan_lines: int = 64, n_azimuth: int = 1800,
+                          noise: float = 0.01, seed: int = 0,
+                          dropout: float = 0.05) -> np.ndarray:
+    """Raytrace one *motion-distorted* scan: azimuth column j fires at
+    sweep fraction τ = j/n_azimuth from the interpolated pose
+    slerp/lerp((q0,t0) → (q1,t1), τ), and its points are returned in the
+    sensor frame *at fire time* — the physical model the reference's
+    DISTORTION=1 path (laserOdometry.cpp:59,111-129) undoes with per-point
+    slerp by the intensity-encoded time fraction."""
+    rng = np.random.default_rng(seed)
+    el = np.deg2rad(elevation_angles(scan_lines))
+    az0 = rng.uniform(-np.pi, np.pi)
+    theta = az0 - 2 * np.pi * np.arange(n_azimuth) / n_azimuth
+    tau = np.arange(n_azimuth) / n_azimuth
+
+    th, e = np.meshgrid(theta, el, indexing="ij")   # (A, R)
+    dirs_s = np.stack([np.cos(e) * np.cos(th),
+                       np.cos(e) * np.sin(th),
+                       np.sin(e)], axis=-1)          # (A, R, 3)
+
+    # per-column pose along the sweep
+    Rs = np.stack([_q_to_R(_np_slerp(np.asarray(q0, np.float64),
+                                     np.asarray(q1, np.float64), s))
+                   for s in tau])                    # (A, 3, 3)
+    ts = (1 - tau)[:, None] * np.asarray(t0) + tau[:, None] * np.asarray(t1)
+
+    dirs_w = np.einsum("aij,arj->ari", Rs, dirs_s).reshape(-1, 3)
+    origins = np.repeat(ts, scan_lines, axis=0)
+
+    t_hit = _ray_world_hits(origins, dirs_w, world)
+    hit = t_hit < _MAX_RANGE
+    if dropout > 0:
+        hit &= rng.uniform(size=hit.shape) > dropout
+    rr = t_hit + rng.normal(scale=noise, size=t_hit.shape)
+    pts_s = dirs_s.reshape(-1, 3) * rr[:, None]      # sensor frame @ fire time
+    refl = rng.uniform(0.0, 1.0, size=(pts_s.shape[0], 1))
+    out = np.concatenate([pts_s, refl], axis=-1)[hit]
+    return out.astype(np.float32)
+
+
+def make_distorted_sequence(n_frames: int, scan_lines: int = 64,
+                            seed: int = 0, n_azimuth: int = 1800,
+                            speed: float = 10.0, noise: float = 0.01,
+                            dropout: float = 0.05,
+                            yaw_rate: float = 0.02):
+    """Motion-distorted synthetic sequence: frame i sweeps from GT pose i to
+    GT pose i+1. Returns (scans, traj) where traj holds n_frames+1 poses;
+    traj.trans[i] is frame i's *sweep-start* pose. The pipeline's
+    distortion-mode pose chain tracks sweep-END frames (TransformToEnd
+    semantics), so estimated frame i compares against GT pose i+1 rebased
+    to GT pose 1 (frame 0 initializes at its start pose)."""
+    world = street_canyon(seed=seed, length=max(100.0,
+                                                speed * 0.1 * n_frames + 60))
+    traj = drive_trajectory(n_frames + 1, speed=speed, yaw_rate=yaw_rate)
+    scans = [render_scan_distorted(
+        world, traj.quats[i], traj.trans[i], traj.quats[i + 1],
+        traj.trans[i + 1], scan_lines=scan_lines, n_azimuth=n_azimuth,
+        seed=seed * 10007 + i, noise=noise, dropout=dropout)
+        for i in range(n_frames)]
+    return scans, traj
+
+
 def make_sequence(n_frames: int, scan_lines: int = 64, seed: int = 0,
                   n_azimuth: int = 1800, speed: float = 10.0,
                   noise: float = 0.01, dropout: float = 0.05):

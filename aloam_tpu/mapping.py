@@ -50,6 +50,7 @@ class MapMetrics(NamedTuple):
     solved: jnp.ndarray
     overflow: jnp.ndarray   # capacity losses (stack truncation, full buckets)
     evicted: jnp.ndarray    # rolling-window discards (normal once moving)
+    degenerate: jnp.ndarray  # clamped / non-finite LM iterations (all rounds)
 
 
 def init_state(cfg: AloamConfig) -> MapState:
@@ -69,13 +70,24 @@ def _window_cells(cfg: AloamConfig) -> jnp.ndarray:
     return jnp.asarray(np.ceil(half / cfg.knn_cell), jnp.int32)
 
 
+def _local_cells(cfg: AloamConfig) -> jnp.ndarray:
+    """Half-extent of the reference's *local* 5×5×3-cube gather around the
+    pose cube (I±2, J±2, K±1 of 50 m cubes, laserMapping.cpp:509-529) in
+    grid cells — the neighborhood whose point counts gate the solve
+    (laserMapping.cpp:554)."""
+    import numpy as np
+    half = np.array([2.5, 2.5, 1.5]) * cfg.cube_size
+    return jnp.asarray(np.ceil(half / cfg.knn_cell), jnp.int32)
+
+
 def corner_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
                         q, t, cfg: AloamConfig) -> solver.EdgeFactors:
     """Map-frame edge factors via gated 5-NN PCA (laserMapping.cpp:577-640):
     if λ₂ > 3λ₁ the neighborhood is a line; emit virtual points at
     centroid ± 0.1·direction."""
     sel = geo.qrot(q, stack_xyz) + t
-    d2, near = gridmap.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_radius)
+    d2, near = gridmap.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
+                           cfg.map_query_chunk)
     gate = stack_mask & (d2[:, 4] < cfg.map_knn_gate_sq)
     # gate-failing rows may carry the far-sentinel pad: zero them so the
     # (masked) fit arithmetic below cannot overflow into NaNs
@@ -100,7 +112,8 @@ def surf_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
     (laserMapping.cpp:642-705): solve A·n = -1, normalize, keep the plane iff
     every neighbor is within 0.2 m."""
     sel = geo.qrot(q, stack_xyz) + t
-    d2, near = gridmap.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_radius)
+    d2, near = gridmap.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
+                           cfg.map_query_chunk)
     gate = stack_mask & (d2[:, 4] < cfg.map_knn_gate_sq)
     # gate-failing rows may carry the far-sentinel pad: zero them so the
     # (masked) fit arithmetic below cannot overflow into NaNs
@@ -165,11 +178,14 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     q_w = geo.qmul(state.q_wmap_wodom, q_wodom)
     t_w = geo.qrot(state.q_wmap_wodom, t_wodom) + state.t_wmap_wodom
 
-    # map-support gates (:554): the reference counts the local 75-cube
-    # neighborhood; the persistent grid counts all live entries (the
-    # eviction window keeps those near the trajectory)
-    n_map_corner = gridmap.n_valid(state.corner)
-    n_map_surf = gridmap.n_valid(state.surf)
+    # map-support gate (:554): like the reference, count map points in the
+    # local 5×5×3-cube neighborhood of the (initial-guess) pose — after a
+    # teleport/revisit far from map mass the solve is skipped and the
+    # odometry prior held, exactly as laserMapping.cpp:554,730-733 would
+    local = _local_cells(cfg)
+    pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+    n_map_corner = gridmap.count_near(state.corner, pose_cell, local)
+    n_map_surf = gridmap.count_near(state.surf, pose_cell, local)
     solve_ok = (n_map_corner > cfg.map_min_corner) \
         & (n_map_surf > cfg.map_min_surf)
 
@@ -187,6 +203,7 @@ def mapping_step(state: MapState, corner_in: PointCloud,
 
     n_edge = jnp.int32(0)
     n_plane = jnp.int32(0)
+    degen = jnp.int32(0)
     for _ in range(cfg.map_outer_rounds):
         edges = corner_associations(corner_stack, c_ds_mask & solve_ok,
                                     state.corner, q_w, t_w, cfg)
@@ -194,6 +211,7 @@ def mapping_step(state: MapState, corner_in: PointCloud,
                                    state.surf, q_w, t_w, cfg)
         q_w, t_w, stats = solver.lm_solve((edges, planes), q_w, t_w,
                                           cfg.map_lm_iters, cfg.huber_delta)
+        degen = degen + stats.clamped + stats.nonfinite
         n_edge = jnp.sum(edges.mask)
         n_plane = jnp.sum(planes.mask)
 
@@ -230,5 +248,6 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     metrics = MapMetrics(
         from_map_corner=n_map_corner, from_map_surf=n_map_surf,
         corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
-        overflow=dc + ds_ + d1 + d2 + dr1 + dr2, evicted=ev1 + ev2)
+        overflow=dc + ds_ + d1 + d2 + dr1 + dr2, evicted=ev1 + ev2,
+        degenerate=degen)
     return new_state, metrics

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from aloam_tpu import geometry as geo
 from aloam_tpu import solver
 from aloam_tpu.config import AloamConfig
-from aloam_tpu.neighbors import dist2_matrix
+from aloam_tpu.neighbors import odom_window_mins
 from aloam_tpu.types import PointCloud, ScanFeatures
 
 _INF = float("inf")  # plain scalar: jnp constants at import time would init backends
@@ -41,6 +41,7 @@ class OdomMetrics(NamedTuple):
     plane_corr: jnp.ndarray
     cost0: jnp.ndarray
     cost: jnp.ndarray
+    degenerate: jnp.ndarray  # clamped or non-finite LM iterations (all rounds)
 
 
 def init_state(cfg: AloamConfig) -> OdomState:
@@ -74,26 +75,35 @@ def _transform_to_start(q, t, pts, s=None):
     return geo.qrot(qs, pts) + ts
 
 
+def transform_to_end(pc: PointCloud, q, t, cfg: AloamConfig) -> PointCloud:
+    """TransformToEnd (laserOdometry.cpp:131-148): undistort a cloud to the
+    sweep-end frame — first to the sweep start by the per-point interpolated
+    pose, then by the full inverse — and strip the fractional time from the
+    intensity encoding (:146). The reference keeps the equivalent handoff
+    re-projection under ``if (0)`` (:533-552); with the DISTORTION path
+    active it is required for a consistent frame chain, so here it runs
+    whenever cfg.distortion is set."""
+    s = _point_s(pc, cfg)
+    un = _transform_to_start(q, t, pc.xyz, s)
+    end = geo.qrot_inv(q, un - t)
+    return pc._replace(xyz=end, intensity=jnp.floor(pc.intensity))
+
+
 def edge_correspondences(sharp: PointCloud, last: PointCloud,
                          q, t, cfg: AloamConfig) -> solver.EdgeFactors:
     """Corner correspondences (laserOdometry.cpp:299-384): 1-NN gated at
     25 m², plus the closest point on a *different* ring within ±2 rings
-    (±NEARBY_SCAN = 2.5 on integer ring IDs), gated at 25 m²."""
+    (±NEARBY_SCAN = 2.5 on integer ring IDs), gated at 25 m².
+
+    Streamed over reference chunks (O(Q·chunk) memory) so batched streams
+    fit HBM; results are identical to the dense distance matrix."""
     s = _point_s(sharp, cfg) if cfg.distortion else None
     sel = _transform_to_start(q, t, sharp.xyz, s)
-    d2 = dist2_matrix(sel, last.xyz, last.mask)
-    d2 = jnp.where(sharp.mask[:, None], d2, _INF)
-    nn = jnp.argmin(d2, axis=1)
-    gate1 = jnp.min(d2, axis=1) < cfg.dist_sq_threshold
-
-    ring = last.ring()
-    ring_nn = ring[nn]
-    diff = ring[None, :] - ring_nn[:, None]
-    adiff = jnp.abs(diff)
-    cand = (adiff >= 1) & (adiff <= jnp.int32(cfg.nearby_scan))
-    d2_c = jnp.where(cand, d2, _INF)
-    idx2 = jnp.argmin(d2_c, axis=1)
-    gate2 = jnp.min(d2_c, axis=1) < cfg.dist_sq_threshold
+    d2_nn, nn, d2_diff, idx2 = odom_window_mins(
+        sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
+        want_same_ring=False, chunk=cfg.knn_chunk)
+    gate1 = d2_nn < cfg.dist_sq_threshold
+    gate2 = d2_diff < cfg.dist_sq_threshold
 
     valid = sharp.mask & gate1 & gate2
     return solver.EdgeFactors(p=sharp.xyz, a=last.xyz[nn],
@@ -105,30 +115,14 @@ def plane_correspondences(flat: PointCloud, last: PointCloud,
     """Surf correspondences (laserOdometry.cpp:387-483): 1-NN gated at 25 m²,
     closest *same-ring* point (minPointInd2) and closest point within ±2
     *other* rings (minPointInd3), both gated at 25 m²; the plane normal is
-    (j−l)×(j−m) normalized (lidarFactor.hpp:64-65)."""
+    (j−l)×(j−m) normalized (lidarFactor.hpp:64-65). Streamed like
+    edge_correspondences."""
     s = _point_s(flat, cfg) if cfg.distortion else None
     sel = _transform_to_start(q, t, flat.xyz, s)
-    d2 = dist2_matrix(sel, last.xyz, last.mask)
-    d2 = jnp.where(flat.mask[:, None], d2, _INF)
-    nn = jnp.argmin(d2, axis=1)
-    gate1 = jnp.min(d2, axis=1) < cfg.dist_sq_threshold
-
-    ring = last.ring()
-    ring_nn = ring[nn]
-    diff = ring[None, :] - ring_nn[:, None]
-    adiff = jnp.abs(diff)
-    m = last.xyz.shape[0]
-    not_nn = jnp.arange(m, dtype=jnp.int32)[None, :] != nn[:, None]
-
-    cand2 = (adiff == 0) & not_nn
-    d2_2 = jnp.where(cand2, d2, _INF)
-    idx2 = jnp.argmin(d2_2, axis=1)
-    val2 = jnp.min(d2_2, axis=1)
-
-    cand3 = (adiff >= 1) & (adiff <= jnp.int32(cfg.nearby_scan))
-    d2_3 = jnp.where(cand3, d2, _INF)
-    idx3 = jnp.argmin(d2_3, axis=1)
-    val3 = jnp.min(d2_3, axis=1)
+    d2_nn, nn, val3, idx3, val2, idx2 = odom_window_mins(
+        sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
+        want_same_ring=True, chunk=cfg.knn_chunk)
+    gate1 = d2_nn < cfg.dist_sq_threshold
 
     valid = flat.mask & gate1 \
         & (val2 < cfg.dist_sq_threshold) & (val3 < cfg.dist_sq_threshold)
@@ -152,6 +146,7 @@ def odometry_step(state: OdomState, feats: ScanFeatures,
     """
     q, t = state.q_lc, state.t_lc  # warm start (constant-velocity prior)
     metrics = None
+    degen = jnp.int32(0)
     for _ in range(cfg.odom_outer_rounds):
         edges = edge_correspondences(feats.sharp, state.corner_last,
                                      q, t, cfg)
@@ -159,9 +154,10 @@ def odometry_step(state: OdomState, feats: ScanFeatures,
                                        q, t, cfg)
         q, t, stats = solver.lm_solve((edges, planes), q, t,
                                       cfg.odom_lm_iters, cfg.huber_delta)
+        degen = degen + stats.clamped + stats.nonfinite
         metrics = OdomMetrics(
             corner_corr=jnp.sum(edges.mask), plane_corr=jnp.sum(planes.mask),
-            cost0=stats.cost0, cost=stats.cost)
+            cost0=stats.cost0, cost=stats.cost, degenerate=degen)
 
     # first frame: initialization only (laserOdometry.cpp:267-271)
     inited = state.initialized
@@ -170,8 +166,17 @@ def odometry_step(state: OdomState, feats: ScanFeatures,
 
     q_w, t_w = geo.compose(state.q_w, state.t_w, q_lc, t_lc)
 
+    # handoff clouds: with DISTORTION the less-sharp/less-flat clouds are
+    # re-projected to the sweep end so the next frame's TransformToStart
+    # (and the mapping stage) see a consistent frame chain
+    if cfg.distortion:
+        corner_last = transform_to_end(feats.less_sharp, q_lc, t_lc, cfg)
+        surf_last = transform_to_end(feats.less_flat, q_lc, t_lc, cfg)
+    else:
+        corner_last, surf_last = feats.less_sharp, feats.less_flat
+
     new_state = OdomState(
         q_w=q_w, t_w=t_w, q_lc=q_lc, t_lc=t_lc,
-        corner_last=feats.less_sharp, surf_last=feats.less_flat,
+        corner_last=corner_last, surf_last=surf_last,
         initialized=jnp.asarray(True))
     return new_state, metrics

@@ -51,6 +51,10 @@ _FAR = 1e9  # empty-slot position sentinel: fails every distance gate
 
 
 def empty(table_size: int, bucket_cap: int) -> GridMap:
+    # _hash masks with (table_size - 1): anything else would silently
+    # produce out-of-range bucket ids (clamped gathers -> corrupted map)
+    assert table_size & (table_size - 1) == 0, (
+        f"table_size must be a power of two, got {table_size}")
     return GridMap(
         pts=jnp.full((table_size, bucket_cap, 3), _FAR, jnp.float32),
         inten=jnp.zeros((table_size, bucket_cap), jnp.float32),
@@ -60,6 +64,19 @@ def empty(table_size: int, bucket_cap: int) -> GridMap:
 
 def n_valid(grid: GridMap) -> jnp.ndarray:
     return jnp.sum(grid.cell[..., 0] != _EMPTY)
+
+
+def count_near(grid: GridMap, center: jnp.ndarray,
+               half_cells: jnp.ndarray) -> jnp.ndarray:
+    """Live entries within center ± half_cells (cell coords) — the analog of
+    the reference's local 5×5×3-cube map-point count that gates the mapping
+    solve (laserMapping.cpp:531-554). One masked pass over the i16 cell
+    table (~a few MB), no gathers."""
+    c = grid.cell.astype(jnp.int32)
+    live = grid.cell[..., 0] != _EMPTY
+    near = jnp.all(jnp.abs(c - center[None, None, :])
+                   <= half_cells[None, None, :], axis=-1)
+    return jnp.sum(live & near)
 
 
 def _cells_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
@@ -86,12 +103,25 @@ def _offsets8():
 
 
 def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
-        radius: float = 1.0):
+        radius: float = 1.0, query_chunk: int = 0):
     """Gated exact k-NN against the persistent grid: every map point within
     `radius` of a query is covered by the 2×2×2 cell block at
     floor((q - radius)/cell) (requires cell_size >= 2*radius). Returns
-    (d2 (Q,k) ascending with +inf padding, nbrs (Q,k,3))."""
+    (d2 (Q,k) ascending with +inf padding, nbrs (Q,k,3)).
+
+    query_chunk > 0 processes queries in chunks of that size (lax.map):
+    the (Q, 8, B, 3) candidate gather is the biggest per-frame intermediate
+    (~100 MB at HDL-64 stack sizes), which matters when vmapping many
+    streams into one chip's HBM."""
     assert cell_size >= 2 * radius, (cell_size, radius)
+    if query_chunk and query.shape[0] > query_chunk:
+        n = query.shape[0]
+        pad = (-n) % query_chunk
+        qp = jnp.pad(query, ((0, pad), (0, 0)))
+        qs = qp.reshape(-1, query_chunk, 3)
+        d2, nbrs = jax.lax.map(
+            lambda qq: knn(grid, qq, k, cell_size, radius), qs)
+        return (d2.reshape(-1, k)[:n], nbrs.reshape(-1, k, 3)[:n])
     table_size = grid.pts.shape[0]
     qcells = _cells_of(query - radius, cell_size)
     ncells = qcells[:, None, :] + _offsets8()[None]          # (Q, 8, 3)

@@ -1,2 +1,2 @@
 from aloam_tpu.parallel.sharding import (  # noqa: F401
-    batched_init, batched_step_fn, make_mesh, sharded_knn)
+    batched_init, batched_step_fn, batched_step_jit, make_mesh, sharded_knn)

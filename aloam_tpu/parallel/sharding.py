@@ -18,7 +18,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.6 exposes shard_map at the top level; the experimental
+    # module is deprecated (warns in 0.8, removed in 0.9). The replication
+    # check kwarg was renamed check_rep -> check_vma in the move.
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aloam_tpu import pipeline
@@ -41,6 +50,17 @@ def batched_init(cfg: AloamConfig, batch: int):
     state = pipeline.init_state(cfg)
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+
+
+def batched_step_jit(cfg: AloamConfig, donate: bool = True):
+    """Single-chip vmapped step over a leading stream axis (no mesh).
+
+    The per-chip throughput lever (BASELINE config 5 / VERDICT r1 task 1):
+    one SLAM step is latency-bound (~30 µs/op tail, small gathers), so B
+    independent streams per chip amortize dispatch and row-latency across
+    the batch. State is donated -> map buffers update in place."""
+    vstep = jax.vmap(lambda s, x, m: pipeline.step(s, x, m, cfg))
+    return jax.jit(vstep, donate_argnums=(0,) if donate else ())
 
 
 def batched_step_fn(cfg: AloamConfig, mesh: Mesh):

@@ -35,6 +35,7 @@ METRIC_NAMES = (
     "corner_corr", "plane_corr", "odom_cost", "map_corner_factors",
     "map_surf_factors", "map_solved", "frontend_overflow", "map_overflow",
     "map_evicted", "n_sharp", "n_flat", "n_less_sharp", "n_less_flat",
+    "odom_degenerate", "map_degenerate",
 )
 
 
@@ -63,6 +64,10 @@ class SlamOutputs(NamedTuple):
     q_hf: jnp.ndarray
     t_hf: jnp.ndarray
     metrics: jnp.ndarray  # packed vector, see METRIC_NAMES / metrics_dict
+    # /velodyne_cloud_registered: full-res cloud in the map frame
+    # (laserMapping.cpp:838-848); None unless cfg.emit_registered
+    registered: jnp.ndarray | None = None
+    registered_mask: jnp.ndarray | None = None
 
 
 def init_state(cfg: AloamConfig) -> SlamState:
@@ -84,7 +89,10 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
     t_hf = geo.qrot(state.map.q_wmap_wodom, odom.t_w) + state.map.t_wmap_wodom
 
     def run_mapping(map_state):
-        return mp.mapping_step(map_state, feats.less_sharp, feats.less_flat,
+        # the handoff clouds (== feats.less_sharp/less_flat undistorted;
+        # TransformToEnd-reprojected when cfg.distortion) — the
+        # /laser_cloud_corner_last topic contents (laserOdometry.cpp:570-585)
+        return mp.mapping_step(map_state, odom.corner_last, odom.surf_last,
                                odom.q_w, odom.t_w, cfg)
 
     if cfg.mapping_skip_frame <= 1:
@@ -95,7 +103,8 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
             return map_state, mp.MapMetrics(
                 from_map_corner=zero, from_map_surf=zero,
                 corner_factors=zero, surf_factors=zero,
-                solved=jnp.asarray(False), overflow=zero, evicted=zero)
+                solved=jnp.asarray(False), overflow=zero, evicted=zero,
+                degenerate=zero)
         map_state, mm = jax.lax.cond(
             state.frame % cfg.mapping_skip_frame == 0,
             run_mapping, skip, state.map)
@@ -116,10 +125,22 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
         feats.flat.count().astype(jnp.float32),
         feats.less_sharp.count().astype(jnp.float32),
         feats.less_flat.count().astype(jnp.float32),
+        om.degenerate.astype(jnp.float32),
+        mm.degenerate.astype(jnp.float32),
     ])
+    # /velodyne_cloud_registered (laserMapping.cpp:838-848): the full-res
+    # ring cloud re-registered into the map frame by the refined pose.
+    # Static-shaped and optional (cfg.emit_registered) — ~2 MB/frame.
+    registered = registered_mask = None
+    if cfg.emit_registered:
+        full = rc.xyz.reshape(-1, 3)
+        registered = geo.qrot(map_state.q_w, full) + map_state.t_w
+        registered_mask = rc.slot_mask().reshape(-1)
     outputs = SlamOutputs(q_odom=odom.q_w, t_odom=odom.t_w,
                           q_map=map_state.q_w, t_map=map_state.t_w,
-                          q_hf=q_hf, t_hf=t_hf, metrics=metrics)
+                          q_hf=q_hf, t_hf=t_hf, metrics=metrics,
+                          registered=registered,
+                          registered_mask=registered_mask)
     new_state = SlamState(odom=odom, map=map_state,
                           frame=state.frame + 1)
     return new_state, outputs

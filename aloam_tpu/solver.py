@@ -12,9 +12,11 @@ Local parameterization: 6-dof tangent ``[dtheta, dt]`` applied as
 ``q' = exp(dtheta) ⊗ q``, ``t' = t + dt`` (matching the reference's
 left-multiplied quaternion perturbation).
 
-All factors assume the undistorted ``s = 1`` path, the only one the
-reference exercises (``DISTORTION 0``, laserOdometry.cpp:59; mapping always
-passes 1.0, laserMapping.cpp:618).
+``s = 1`` (no per-point interpolation) is the default — the reference's
+compiled ``DISTORTION 0`` path (laserOdometry.cpp:59; mapping always passes
+1.0, laserMapping.cpp:618). Factors carrying per-point time fractions ``s``
+implement the ``DISTORTION 1`` path: slerp-interpolated residuals
+(lidarFactor.hpp:26-33) with first-order s-scaled Jacobians.
 """
 
 from __future__ import annotations
@@ -161,6 +163,10 @@ def _accumulate(factors: Sequence, q, t, delta: float):
     for f in factors:
         r, jac = _RESIDUAL_FNS[type(f)](f, q, t)
         m = f.mask.astype(jnp.float32)
+        # hard-zero masked rows: a w=0 weight alone cannot neutralize
+        # non-finite padding (0 * inf = nan would poison H)
+        r = jnp.where(f.mask[:, None], r, 0.0)
+        jac = jnp.where(f.mask[:, None, None], jac, 0.0)
         s = jnp.sum(r * r, axis=-1)
         w = huber_weight(s, delta) * m
         # full-f32 accumulation: TPU einsum defaults to bf16 passes, which
@@ -178,6 +184,7 @@ def _cost_only(factors: Sequence, q, t, delta: float):
     cost = jnp.float32(0.0)
     for f in factors:
         r, _ = _RESIDUAL_FNS[type(f)](f, q, t)
+        r = jnp.where(f.mask[:, None], r, 0.0)
         s = jnp.sum(r * r, axis=-1)
         cost = cost + 0.5 * jnp.sum(huber_cost(s, delta)
                                     * f.mask.astype(jnp.float32))
@@ -188,6 +195,16 @@ class SolveStats(NamedTuple):
     cost0: jnp.ndarray
     cost: jnp.ndarray
     n_factors: jnp.ndarray
+    clamped: jnp.ndarray     # iterations whose update hit the norm clamp
+    nonfinite: jnp.ndarray   # iterations rejected for NaN/Inf deltas
+
+
+# Per-iteration update-norm ceilings (SURVEY.md §5 failure detection):
+# LOAM inter-frame motion is <= ~3 m / ~0.3 rad at the design point; a
+# singular/ill-conditioned 6x6 solve produces deltas orders of magnitude
+# larger. Clamping preserves the direction, bounds the damage.
+_MAX_DTHETA = 0.5   # rad
+_MAX_DT = 5.0       # m
 
 
 def lm_solve(factors: Sequence, q0, t0, n_iters: int,
@@ -199,25 +216,49 @@ def lm_solve(factors: Sequence, q0, t0, n_iters: int,
     that increases the robust cost is rolled back and λ grows. With zero
     active factors the gradient is zero and the pose is returned unchanged
     (like Ceres on an empty problem).
+
+    Hardening beyond the reference (SURVEY.md §5): non-finite deltas from a
+    singular H are rejected *explicitly* (pose keeps its prior value — the
+    equivalent of Ceres' FAILURE return leaving the blocks untouched) and
+    oversized updates are norm-clamped; both events are surfaced in
+    SolveStats so callers can export them as metrics.
     """
 
     def body(_, st):
-        q, t, lam, _ = st
+        q, t, lam, _, n_clamp, n_nan = st
         h, g, cost, _ = _accumulate(factors, q, t, huber_delta)
         # Marquardt damping on the diagonal + floor for empty problems
         diag = jnp.diag(jnp.diagonal(h)) + 1e-8 * jnp.eye(6)
         delta = jnp.linalg.solve(h + lam * diag, -g)
+        finite = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(finite, delta, 0.0)
+        # norm-clamp rotation and translation blocks independently
+        nth = jnp.linalg.norm(delta[:3])
+        ntr = jnp.linalg.norm(delta[3:])
+        sc_th = jnp.minimum(1.0, _MAX_DTHETA / jnp.maximum(nth, 1e-20))
+        sc_tr = jnp.minimum(1.0, _MAX_DT / jnp.maximum(ntr, 1e-20))
+        hit_clamp = finite & ((sc_th < 1.0) | (sc_tr < 1.0))
+        delta = jnp.concatenate([delta[:3] * sc_th, delta[3:] * sc_tr])
         q_new = geo.retract(q, delta[:3])
         t_new = t + delta[3:]
         cost_new = _cost_only(factors, q_new, t_new, huber_delta)
-        accept = cost_new < cost
+        accept = finite & (cost_new < cost)
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
                         jnp.minimum(lam * 10.0, 1e4))
-        return q, t, lam, jnp.where(accept, cost_new, cost)
+        return (q, t, lam, jnp.where(accept, cost_new, cost),
+                n_clamp + hit_clamp.astype(jnp.int32),
+                n_nan + (~finite).astype(jnp.int32))
 
     _, _, cost0, n_factors = _accumulate(factors, q0, t0, huber_delta)
-    q, t, _, cost = jax.lax.fori_loop(
-        0, n_iters, body, (q0, t0, jnp.float32(lambda0), cost0))
-    return q, t, SolveStats(cost0=cost0, cost=cost, n_factors=n_factors)
+    q, t, _, cost, n_clamp, n_nan = jax.lax.fori_loop(
+        0, n_iters, body,
+        (q0, t0, jnp.float32(lambda0), cost0, jnp.int32(0), jnp.int32(0)))
+    # belt-and-braces: a non-finite pose (cannot happen with the guards
+    # above, but cheap) falls back to the prior
+    pose_ok = jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(t))
+    q = jnp.where(pose_ok, q, q0)
+    t = jnp.where(pose_ok, t, t0)
+    return q, t, SolveStats(cost0=cost0, cost=cost, n_factors=n_factors,
+                            clamped=n_clamp, nonfinite=n_nan)

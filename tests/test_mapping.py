@@ -142,3 +142,32 @@ def test_no_solve_below_map_minimums(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(state2.q_w), np.asarray(q_odom),
                                atol=1e-6)
+
+
+def test_teleport_holds_odometry_prior(rng):
+    """Local map-support gate parity (laserMapping.cpp:554,730-733): after a
+    teleport far from all map mass the solve must be skipped — the local
+    5x5x3-cube neighborhood is empty even though the global map is big."""
+    state = mapping.init_state(CFG)
+    pts = rng.uniform(-20, 20, size=(200, 3)).astype(np.float32)
+    corner = _pc(pts, CFG.corner_stack_cap)
+    surf = _pc(pts, CFG.surf_stack_cap)
+    state, m0 = mapping.mapping_step(state, corner, surf, geo.qidentity(),
+                                     jnp.zeros(3), CFG)
+    state, m1 = mapping.mapping_step(state, corner, surf, geo.qidentity(),
+                                     jnp.zeros(3), CFG)
+    assert bool(m1.solved)  # plenty of local support at the origin
+
+    # teleport beyond the local 5x5x3-cube window (2.5 cubes x 50 m = 125 m
+    # half-extent): global map is unchanged but local support is zero
+    q_odom = geo.exp_so3(jnp.asarray([0.0, 0.0, 0.2]))
+    t_odom = jnp.asarray([1000.0, -500.0, 0.0])
+    state2, m2 = mapping.mapping_step(state, corner, surf, q_odom,
+                                      t_odom, CFG)
+    assert not bool(m2.solved)
+    assert int(m2.from_map_corner) == 0 and int(m2.from_map_surf) == 0
+    # the pose holds the odometry prior exactly (correction was identity)
+    np.testing.assert_allclose(np.asarray(state2.t_w), np.asarray(t_odom),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.q_w), np.asarray(q_odom),
+                               atol=1e-6)

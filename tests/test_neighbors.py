@@ -51,3 +51,32 @@ def test_all_masked_gives_inf(rng):
     d2, _ = neighbors.nn1(jnp.asarray(q), jnp.asarray(r),
                           jnp.zeros(16, bool))
     assert np.all(np.isinf(np.asarray(d2)))
+
+
+def test_odom_window_mins_matches_dense(rng):
+    """The streamed two-pass correspondence minima must equal the dense
+    (Q, M) distance-matrix formulation, including first-index tie-breaks."""
+    import numpy as np
+    q = rng.uniform(-10, 10, size=(37, 3)).astype(np.float32)
+    r = rng.uniform(-10, 10, size=(500, 3)).astype(np.float32)
+    ring = np.sort(rng.integers(0, 16, size=500)).astype(np.int32)
+    m = rng.uniform(size=500) > 0.1
+
+    out = neighbors.odom_window_mins(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(m), jnp.asarray(ring),
+        nearby_scan=2, want_same_ring=True, chunk=128)
+    d2_nn, nn, d2_diff, idx_diff, d2_same, idx_same = map(np.asarray, out)
+
+    d2 = ((q[:, None] - r[None]) ** 2).sum(-1)
+    d2[:, ~m] = np.inf
+    nn_ref = d2.argmin(1)
+    np.testing.assert_array_equal(nn, nn_ref)
+    np.testing.assert_allclose(d2_nn, d2.min(1), rtol=1e-4, atol=1e-5)
+
+    adiff = np.abs(ring[None, :] - ring[nn_ref][:, None])
+    dd = np.where((adiff >= 1) & (adiff <= 2), d2, np.inf)
+    np.testing.assert_array_equal(idx_diff, dd.argmin(1))
+    ds = np.where((adiff == 0)
+                  & (np.arange(500)[None, :] != nn_ref[:, None]), d2, np.inf)
+    np.testing.assert_array_equal(idx_same, ds.argmin(1))
+    np.testing.assert_allclose(d2_same, ds.min(1), rtol=1e-4, atol=1e-5)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from aloam_tpu import geometry as geo
 from aloam_tpu import odometry
+from aloam_tpu import odometry as od
 from aloam_tpu.config import PRESETS
 from aloam_tpu.frontend import register_scan, extract_features
 from aloam_tpu.io import synthetic as syn
@@ -114,3 +115,41 @@ def test_two_frame_pose_recovery():
     # world pose after 2 frames equals the relative motion
     np.testing.assert_allclose(np.asarray(state.t_w), np.asarray(t_rel),
                                atol=0.05)
+
+
+def test_transform_to_end_matches_physical_model(rng):
+    """Pin TransformToStart/TransformToEnd semantics (laserOdometry.cpp:
+    111-148) against the physical constant-velocity model: a point fired at
+    sweep fraction s from the interpolated sensor pose must map back to its
+    fixed location in the start frame (s-interp) and the end frame (full
+    inverse)."""
+    from aloam_tpu import solver
+    from aloam_tpu.config import AloamConfig
+    from aloam_tpu.types import PointCloud
+
+    cfg = AloamConfig(distortion=True)
+    q_m = geo.exp_so3(jnp.asarray([0.02, -0.03, 0.1]))  # sweep motion
+    t_m = jnp.asarray([1.0, 0.2, -0.05])
+    n = 64
+    x_start = jnp.asarray(rng.uniform(-20, 20, size=(n, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0, 1, size=n), jnp.float32)
+
+    # fire-time coords: p = R(s)^T (X - s*t_m)
+    qs, ts = solver._interp_pose(q_m, t_m, s)
+    p_fire = geo.qrot_inv(qs, x_start - ts)
+
+    # TransformToStart recovers X
+    back = od._transform_to_start(q_m, t_m, p_fire, s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x_start),
+                               atol=1e-4)
+
+    # TransformToEnd gives X in the end frame: R_m^T (X - t_m)
+    ring = jnp.asarray(rng.integers(0, 64, size=n), jnp.float32)
+    pc = PointCloud(xyz=p_fire, intensity=ring + cfg.scan_period * s,
+                    mask=jnp.ones(n, bool))
+    out = od.transform_to_end(pc, q_m, t_m, cfg)
+    want = geo.qrot_inv(q_m, x_start - t_m)
+    np.testing.assert_allclose(np.asarray(out.xyz), np.asarray(want),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.intensity), np.asarray(ring),
+                               atol=1e-6)

@@ -210,3 +210,52 @@ def test_distortion_s_one_matches_undistorted(rng):
     r1, j1 = solver.edge_residuals(f1, q, t)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(j0), np.asarray(j1), atol=1e-4)
+
+
+def test_lm_degenerate_factors_stay_finite(rng):
+    """Failure-detection hardening (SURVEY.md §5): a rank-1, wildly
+    inconsistent problem must keep the pose finite, clamp the oversized
+    update, and surface the event in SolveStats."""
+    # one active plane factor at the origin with an absurd offset: H is
+    # rank one, the unclamped Newton step would be ~1e8 m
+    planes = solver.PlaneFactors(
+        p=jnp.zeros((4, 3)), n=jnp.asarray([[1.0, 0, 0]] * 4, jnp.float32),
+        d=jnp.asarray([1e8, 0, 0, 0], jnp.float32),
+        mask=jnp.asarray([True, False, False, False]))
+    q0, t0 = geo.qidentity(), jnp.zeros(3)
+    q, t, stats = solver.lm_solve((planes,), q0, t0, 4)
+    assert np.all(np.isfinite(np.asarray(q)))
+    assert np.all(np.isfinite(np.asarray(t)))
+    assert int(stats.clamped) >= 1
+    # each clamped step moves at most the clamp distance
+    assert np.linalg.norm(np.asarray(t)) <= 4 * 5.0 + 1e-3
+
+
+def test_lm_nonfinite_residuals_fall_back_to_prior(rng):
+    """NaN inputs on an *active* factor must be rejected explicitly: the
+    pose keeps its prior value and the event is counted."""
+    planes = solver.PlaneFactors(
+        p=jnp.asarray([[np.nan, 0, 0]] * 2, jnp.float32),
+        n=jnp.asarray([[1.0, 0, 0]] * 2, jnp.float32),
+        d=jnp.zeros(2, jnp.float32), mask=jnp.ones(2, bool))
+    q0, t0 = _rand_pose(rng)
+    q, t, stats = solver.lm_solve((planes,), q0, t0, 4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t0), atol=1e-6)
+    assert int(stats.nonfinite) == 4
+
+
+def test_lm_masked_nonfinite_padding_is_harmless(rng):
+    """Masked-out rows carrying inf/NaN padding must not poison H
+    (0 * inf = nan hazard)."""
+    q_gt, t_gt = _rand_pose(rng, scale_r=0.2, scale_t=0.5)
+    edges, planes = _make_world_factors(rng, q_gt, t_gt)
+    p = np.asarray(planes.p).copy()
+    m = np.asarray(planes.mask).copy()
+    p[-3:] = np.inf
+    m[-3:] = False
+    planes = planes._replace(p=jnp.asarray(p), mask=jnp.asarray(m))
+    q, t, stats = solver.lm_solve((edges, planes), geo.qidentity(),
+                                  jnp.zeros(3), 12)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=2e-3)
+    assert int(stats.nonfinite) == 0
