@@ -179,3 +179,53 @@ def extract_features(rc: RingCloud, curv: jnp.ndarray,
     full = PointCloud(xyz=full_xyz, intensity=full_int, mask=full_m)
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
                         less_flat=less_flat, full=full, overflow=overflow)
+
+
+def extract_features_b(rc: RingCloud, curv: jnp.ndarray,
+                       cfg: AloamConfig) -> ScanFeatures:
+    """Batched extract_features: rc leaves (B, R, C, ·), curv (B, R, C).
+
+    The greedy selection and the per-ring voxel downsample are row-parallel
+    in the ring axis, so the stream axis simply folds into it; only the
+    final compactions need the flat batched scatter (utils.batch.bcompact).
+    Returns ScanFeatures with (B, cap, ·) leaves."""
+    from aloam_tpu.utils.batch import bcompact
+
+    bsz, r, c = curv.shape
+    label, picked, in_region = _select_rings(
+        rc.xyz.reshape(bsz * r, c, 3), curv.reshape(bsz * r, c),
+        rc.cnt.reshape(bsz * r), cfg)
+    label = label.reshape(bsz, r * c)
+    in_region = in_region.reshape(bsz, r * c)
+
+    fused = jnp.concatenate([rc.xyz, rc.intensity[..., None]],
+                            axis=-1).reshape(bsz, r * c, 4)
+
+    def cloud(mask, cap):
+        out, m, dropped = bcompact(fused, mask, cap)
+        return PointCloud(xyz=out[..., :3], intensity=out[..., 3],
+                          mask=m), dropped
+
+    sharp, d1 = cloud(label == 2, cfg.sharp_cap)
+    less_sharp, d2 = cloud(label >= 1, cfg.less_sharp_cap)
+    flat, d3 = cloud(label == -1, cfg.flat_cap)
+
+    lf_xyz, lf_int, lf_mask, d4 = voxel_downsample_rings(
+        rc.xyz.reshape(bsz * r, c, 3), rc.intensity.reshape(bsz * r, c),
+        ((label <= 0) & in_region).reshape(bsz * r, c), cfg.less_flat_leaf)
+    lf_fused = jnp.concatenate([lf_xyz, lf_int[..., None]],
+                               axis=-1).reshape(bsz, r * c, 4)
+    lf_out, lf_m, d5 = bcompact(lf_fused, lf_mask.reshape(bsz, r * c),
+                                cfg.less_flat_cap)
+    less_flat = PointCloud(xyz=lf_out[..., :3], intensity=lf_out[..., 3],
+                           mask=lf_m)
+
+    slot = jnp.arange(c, dtype=jnp.int32)[None, None, :]
+    full_mask = (slot < rc.cnt[:, :, None]).reshape(bsz, r * c)
+    full_out, full_m, d6 = bcompact(fused, full_mask, r * c)
+    full = PointCloud(xyz=full_out[..., :3], intensity=full_out[..., 3],
+                      mask=full_m)
+
+    overflow = d1 + d2 + d3 + d4 + d5 + d6
+    return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
+                        less_flat=less_flat, full=full, overflow=overflow)

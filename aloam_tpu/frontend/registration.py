@@ -120,6 +120,43 @@ def bucket_rings(xyz: jnp.ndarray, intensity: jnp.ndarray,
                      cnt=cnt_clamped), overflow
 
 
+def bucket_rings_b(xyz: jnp.ndarray, intensity: jnp.ndarray,
+                   ring: jnp.ndarray, valid: jnp.ndarray,
+                   scan_lines: int, ring_cap: int):
+    """Batched bucket_rings: xyz (B,N,3), intensity/ring/valid (B,N).
+    Batched stable argsort + one flat scatter-add histogram + one flat
+    gather (vmapped gathers measured ~100x slower — utils.batch)."""
+    from aloam_tpu.utils.batch import bgather
+    bsz, n = ring.shape
+    big = jnp.int32(scan_lines)
+    ring_v = jnp.where(valid, ring, big)
+    order = jnp.argsort(ring_v, axis=1, stable=True)
+
+    koff = (jnp.arange(bsz, dtype=jnp.int32) * (scan_lines + 1))[:, None]
+    cnt = jnp.zeros((bsz * (scan_lines + 1),), jnp.int32).at[
+        (ring_v + koff).reshape(-1)].add(1).reshape(
+            bsz, scan_lines + 1)[:, :scan_lines]
+    starts = jnp.concatenate(
+        [jnp.zeros((bsz, 1), jnp.int32),
+         jnp.cumsum(cnt, axis=1).astype(jnp.int32)], axis=1)
+
+    jj = jnp.arange(ring_cap, dtype=jnp.int32)[None, None, :]
+    src = jnp.clip(starts[:, :scan_lines, None] + jj, 0, n - 1)
+    occupied = (jj < cnt[:, :, None]).reshape(bsz, -1)
+    # fused[order[src]]: compose the two permutations, then gather once
+    idx2 = bgather(order, src.reshape(bsz, -1))
+    fused = jnp.concatenate([xyz, intensity[..., None]], axis=-1)
+    fused_s = bgather(fused, idx2)
+    flat_xyz = jnp.where(occupied[..., None], fused_s[..., :3], 0.0)
+    flat_int = jnp.where(occupied, fused_s[..., 3], 0.0)
+
+    cnt_clamped = jnp.minimum(cnt, ring_cap).astype(jnp.int32)
+    overflow = jnp.sum(cnt - cnt_clamped)
+    return RingCloud(xyz=flat_xyz.reshape(bsz, scan_lines, ring_cap, 3),
+                     intensity=flat_int.reshape(bsz, scan_lines, ring_cap),
+                     cnt=cnt_clamped), overflow
+
+
 def curvature(rc: RingCloud, edge_margin: int = 5):
     """11-point curvature stencil (scanRegistration.cpp:256-266) on the
     ring-major grid: c_i = || sum_{k=-5..5, k!=0} (p_{i+k} - p_i) ||^2.
@@ -157,4 +194,30 @@ def register_scan(xyz: jnp.ndarray, mask: jnp.ndarray, cfg: AloamConfig):
     rc, overflow = bucket_rings(xyz, intensity, ring, valid & keep,
                                 cfg.scan_lines, cfg.ring_cap)
     curv = curvature(rc, cfg.edge_margin)
+    return rc, curv, overflow
+
+
+def register_scan_b(xyz: jnp.ndarray, mask: jnp.ndarray, cfg: AloamConfig):
+    """Batched register_scan: xyz (B, n_raw, 3), mask (B, n_raw). Filtering,
+    ring IDs and relTime are row-parallel (vmapped arithmetic); bucketing
+    uses the flat-op batched path; the curvature stencil runs with the
+    stream axis folded into the ring axis. Returns a RingCloud with
+    (B, R, C) leaves + curvature (B, R, C) + overflow."""
+    import jax
+
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    d2 = jnp.sum(xyz * xyz, axis=-1)
+    valid = mask & finite & (d2 >= cfg.minimum_range ** 2)
+
+    ring, keep = ring_ids(xyz, cfg.scan_lines)
+    rel = jax.vmap(rel_times)(xyz, valid, valid & keep)
+    intensity = ring.astype(xyz.dtype) + cfg.scan_period * rel
+
+    rc, overflow = bucket_rings_b(xyz, intensity, ring, valid & keep,
+                                  cfg.scan_lines, cfg.ring_cap)
+    bsz, r, c = rc.intensity.shape
+    flat = RingCloud(xyz=rc.xyz.reshape(bsz * r, c, 3),
+                     intensity=rc.intensity.reshape(bsz * r, c),
+                     cnt=rc.cnt.reshape(bsz * r))
+    curv = curvature(flat, cfg.edge_margin).reshape(bsz, r, c)
     return rc, curv, overflow

@@ -75,6 +75,30 @@ def voxel_downsample_masked(values: jnp.ndarray, mask: jnp.ndarray,
     return _segment_means_sorted(vals_s, mask_s, new_seg, out_cap)
 
 
+def voxel_downsample_masked_b(values: jnp.ndarray, mask: jnp.ndarray,
+                              leaf: float, out_cap: int):
+    """Batched voxel_downsample_masked: values (B,N,K), mask (B,N).
+    Same 3-pass stable radix order and centroid semantics per stream;
+    permutations are flat gathers, segment means one flat scatter-add.
+    Returns (out (B,out_cap,K), out_mask (B,out_cap), n_dropped (B,))."""
+    from aloam_tpu.utils.batch import bgather
+    inv_leaf = 1.0 / leaf
+    ijk = jnp.floor(values[..., :3] * inv_leaf).astype(jnp.int32)
+    i = ijk[..., 0]
+    j = ijk[..., 1]
+    k = jnp.where(mask, ijk[..., 2], _SENTINEL)
+    o = jnp.argsort(i, axis=1, stable=True)
+    o = bgather(o, jnp.argsort(bgather(j, o), axis=1, stable=True))
+    o = bgather(o, jnp.argsort(bgather(k, o), axis=1, stable=True))
+
+    vals_s = bgather(values, o)
+    mask_s = bgather(mask, o)
+    ijk_s = jnp.where(mask_s[..., None], bgather(ijk, o), _SENTINEL)
+    new_seg = jnp.any(ijk_s != jnp.roll(ijk_s, 1, axis=1), axis=-1)
+    new_seg = new_seg.at[:, 0].set(True) & mask_s
+    return _segment_means_batch(vals_s, mask_s, new_seg, out_cap)
+
+
 def _segment_means_batch(vals_s: jnp.ndarray, mask_s: jnp.ndarray,
                          new_seg: jnp.ndarray, out_cap: int):
     """Batched per-segment means: one *flat* scatter-add over all rows
@@ -97,7 +121,7 @@ def _segment_means_batch(vals_s: jnp.ndarray, mask_s: jnp.ndarray,
     out = totals[..., :k_dim] / jnp.maximum(cnts, 1.0)[..., None]
     out_mask = jnp.arange(out_cap)[None, :] < n_seg[:, None]
     out = jnp.where(out_mask[..., None], out, 0.0)
-    return out, out_mask, jnp.sum(jnp.maximum(n_seg - out_cap, 0))
+    return out, out_mask, jnp.maximum(n_seg - out_cap, 0)  # per-row drops
 
 
 def _gather_sorted_batch(values: jnp.ndarray, order: jnp.ndarray):
@@ -161,4 +185,4 @@ def voxel_downsample_rings(xyz: jnp.ndarray, intensity: jnp.ndarray,
     new_seg = new_seg.at[:, 0].set(True) & mask_s
 
     out, out_mask, dropped = _segment_means_batch(vals_s, mask_s, new_seg, c)
-    return out[..., :3], out[..., 3], out_mask, dropped
+    return out[..., :3], out[..., 3], out_mask, jnp.sum(dropped)

@@ -159,13 +159,21 @@ class Trajectory:
 
 def drive_trajectory(n_frames: int, speed: float = 10.0,
                      period: float = 0.1, yaw_rate: float = 0.02,
-                     height: float = 1.8) -> Trajectory:
-    """A car driving forward with a gentle yaw drift (10 m/s, 10 Hz)."""
+                     height: float = 1.8, accel: float = 0.0) -> Trajectory:
+    """A car driving forward with a gentle yaw drift (10 m/s, 10 Hz).
+
+    ``accel`` [m/s²] ramps the speed over the sequence: v(t) = speed +
+    accel·t. Non-zero accel makes consecutive sweeps warp *differently*
+    under motion distortion — with constant velocity the warp is
+    common-mode between frames and rigid frame-to-frame registration is
+    nearly unbiased, so distortion-model tests need accel to have a
+    structural signal."""
     ts = np.arange(n_frames) * period
     yaw = yaw_rate * ts
+    v = speed + accel * ts
     # integrate position
-    x = np.concatenate([[0.0], np.cumsum(speed * period * np.cos(yaw[:-1]))])
-    y = np.concatenate([[0.0], np.cumsum(speed * period * np.sin(yaw[:-1]))])
+    x = np.concatenate([[0.0], np.cumsum(v[:-1] * period * np.cos(yaw[:-1]))])
+    y = np.concatenate([[0.0], np.cumsum(v[:-1] * period * np.sin(yaw[:-1]))])
     z = np.full(n_frames, height)
     quats = np.stack([np.cos(yaw / 2), 0 * yaw, 0 * yaw, np.sin(yaw / 2)],
                      axis=-1)
@@ -281,16 +289,18 @@ def make_distorted_sequence(n_frames: int, scan_lines: int = 64,
                             seed: int = 0, n_azimuth: int = 1800,
                             speed: float = 10.0, noise: float = 0.01,
                             dropout: float = 0.05,
-                            yaw_rate: float = 0.02):
+                            yaw_rate: float = 0.02, accel: float = 0.0):
     """Motion-distorted synthetic sequence: frame i sweeps from GT pose i to
     GT pose i+1. Returns (scans, traj) where traj holds n_frames+1 poses;
     traj.trans[i] is frame i's *sweep-start* pose. The pipeline's
     distortion-mode pose chain tracks sweep-END frames (TransformToEnd
     semantics), so estimated frame i compares against GT pose i+1 rebased
     to GT pose 1 (frame 0 initializes at its start pose)."""
-    world = street_canyon(seed=seed, length=max(100.0,
-                                                speed * 0.1 * n_frames + 60))
-    traj = drive_trajectory(n_frames + 1, speed=speed, yaw_rate=yaw_rate)
+    dur = 0.1 * n_frames
+    world = street_canyon(seed=seed, length=max(
+        100.0, (speed + 0.5 * accel * dur) * dur + 60))
+    traj = drive_trajectory(n_frames + 1, speed=speed, yaw_rate=yaw_rate,
+                            accel=accel)
     scans = [render_scan_distorted(
         world, traj.quats[i], traj.trans[i], traj.quats[i + 1],
         traj.trans[i + 1], scan_lines=scan_lines, n_azimuth=n_azimuth,

@@ -142,6 +142,137 @@ def surf_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
                                mask=gate & plane_ok)
 
 
+def corner_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
+                          q, t, cfg: AloamConfig) -> solver.EdgeFactors:
+    """Batched corner_associations: stack (B,N,3), grid leaves (B,H,Bk,·),
+    q (B,4), t (B,3)."""
+    sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
+    d2, near = gridmap.knn_b(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
+                             cfg.map_query_chunk)
+    gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
+    near = jnp.where(gate[..., None, None], near, 0.0)
+
+    center = jnp.mean(near, axis=-2)
+    diff = near - center[..., None, :]
+    cov = jnp.einsum("...ki,...kj->...ij", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
+    vals, direction = eigh3(cov)
+    is_line = vals[..., 2] > cfg.map_eigen_ratio * vals[..., 1]
+
+    a = center + cfg.map_edge_half_len * direction
+    b = center - cfg.map_edge_half_len * direction
+    return solver.EdgeFactors(p=stack_xyz, a=a, b=b, mask=gate & is_line)
+
+
+def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
+                        q, t, cfg: AloamConfig) -> solver.PlaneFactors:
+    """Batched surf_associations."""
+    sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
+    d2, near = gridmap.knn_b(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
+                             cfg.map_query_chunk)
+    gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
+    near = jnp.where(gate[..., None, None], near, 0.0)
+
+    c = jnp.mean(near, axis=-2)
+    a_c = near - c[..., None, :]
+    gram = jnp.einsum("...ki,...kj->...ij", a_c, a_c,
+                      precision=jax.lax.Precision.HIGHEST)
+    ata_full = gram + 5.0 * c[..., :, None] * c[..., None, :]
+    atb = -jnp.sum(near, axis=-2)
+    n = solve3(ata_full, atb, reg=1e-9)
+    n_norm = jnp.linalg.norm(n, axis=-1)
+    neg_oa = 1.0 / jnp.maximum(n_norm, 1e-12)
+    n_hat = n * neg_oa[..., None]
+
+    res = jnp.abs(jnp.einsum("...ki,...i->...k", near, n_hat,
+                             precision=jax.lax.Precision.HIGHEST)
+                  + neg_oa[..., None])
+    plane_ok = jnp.all(res <= cfg.map_plane_tol, axis=-1)
+    return solver.PlaneFactors(p=stack_xyz, n=n_hat, d=neg_oa,
+                               mask=gate & plane_ok)
+
+
+def mapping_step_b(state: MapState, corner_in: PointCloud,
+                   surf_in: PointCloud, q_wodom, t_wodom,
+                   cfg: AloamConfig):
+    """Batched mapping_step: state leaves (B, ·), clouds (B, N, ·).
+    Per-stream semantics identical to mapping_step; all gathers/scatters go
+    through the flat batched kernels. Metrics fields are (B,) vectors."""
+    import jax as _jax
+    from aloam_tpu.frontend.voxel import voxel_downsample_masked_b
+
+    q_w = geo.qmul(state.q_wmap_wodom, q_wodom)
+    t_w = geo.qrot(state.q_wmap_wodom, t_wodom) + state.t_wmap_wodom
+
+    local = _local_cells(cfg)
+    pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+    n_map_corner = gridmap.count_near_b(state.corner, pose_cell, local)
+    n_map_surf = gridmap.count_near_b(state.surf, pose_cell, local)
+    solve_ok = (n_map_corner > cfg.map_min_corner) \
+        & (n_map_surf > cfg.map_min_surf)
+
+    c_vals = jnp.concatenate([corner_in.xyz, corner_in.intensity[..., None]],
+                             axis=-1)
+    c_ds, c_ds_mask, dc = voxel_downsample_masked_b(
+        c_vals, corner_in.mask, cfg.line_resolution, cfg.corner_stack_cap)
+    s_vals = jnp.concatenate([surf_in.xyz, surf_in.intensity[..., None]],
+                             axis=-1)
+    s_ds, s_ds_mask, ds_ = voxel_downsample_masked_b(
+        s_vals, surf_in.mask, cfg.plane_resolution, cfg.surf_stack_cap)
+    corner_stack = c_ds[..., :3]
+    surf_stack = s_ds[..., :3]
+
+    lm_b = _jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
+        (e, p), qq, tt, cfg.map_lm_iters, cfg.huber_delta))
+    n_edge = n_plane = None
+    degen = jnp.zeros(q_w.shape[0], jnp.int32)
+    for _ in range(cfg.map_outer_rounds):
+        edges = corner_associations_b(
+            corner_stack, c_ds_mask & solve_ok[:, None], state.corner,
+            q_w, t_w, cfg)
+        planes = surf_associations_b(
+            surf_stack, s_ds_mask & solve_ok[:, None], state.surf,
+            q_w, t_w, cfg)
+        q_w, t_w, stats = lm_b(edges, planes, q_w, t_w)
+        degen = degen + stats.clamped + stats.nonfinite
+        n_edge = jnp.sum(edges.mask, axis=1)
+        n_plane = jnp.sum(planes.mask, axis=1)
+
+    q_wmap_wodom = geo.qmul(q_w, geo.qconj(q_wodom))
+    t_wmap_wodom = t_w - geo.qrot(q_wmap_wodom, t_wodom)
+
+    window = _window_cells(cfg)
+    center = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+
+    def prep(stack, inten, m, leaf, cap):
+        pts_w = geo.qrot(q_w[:, None, :], stack) + t_w[:, None, :]
+        vals = jnp.concatenate([pts_w, inten[..., None]], axis=-1)
+        out, om, dropped = voxel_downsample_masked_b(vals, m, leaf, cap)
+        return out[..., :3], out[..., 3], om, dropped
+
+    c_pts, c_int, c_m, d1 = prep(corner_stack, c_ds[..., 3], c_ds_mask,
+                                 cfg.line_resolution, cfg.corner_stack_cap)
+    s_pts, s_int, s_m, d2 = prep(surf_stack, s_ds[..., 3], s_ds_mask,
+                                 cfg.plane_resolution, cfg.surf_stack_cap)
+    corner, _, _, ev1, dr1 = gridmap.insert_b(
+        state.corner, c_pts, c_int, c_m, cfg.line_resolution, cfg.knn_cell,
+        center, window)
+    surf, _, _, ev2, dr2 = gridmap.insert_b(
+        state.surf, s_pts, s_int, s_m, cfg.plane_resolution, cfg.knn_cell,
+        center, window)
+
+    new_state = MapState(
+        corner=corner, surf=surf,
+        q_wmap_wodom=q_wmap_wodom, t_wmap_wodom=t_wmap_wodom,
+        q_w=q_w, t_w=t_w)
+    metrics = MapMetrics(
+        from_map_corner=n_map_corner, from_map_surf=n_map_surf,
+        corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
+        overflow=(dc + ds_ + d1 + d2) + dr1 + dr2,
+        evicted=ev1 + ev2, degenerate=degen)
+    return new_state, metrics
+
+
 def extract_map_cloud(state: MapState, cfg: AloamConfig):
     """Host-side full-map extraction — the /laser_cloud_map equivalent
     (laserMapping.cpp:823-836). Returns (corner (N,3), surf (M,3)) numpy."""

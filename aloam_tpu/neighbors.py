@@ -162,6 +162,78 @@ def odom_window_mins(sel: jnp.ndarray, ref: jnp.ndarray,
     return d2_nn, nn, d2_diff, idx_diff, d2_same, idx_same
 
 
+def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
+                       ref_mask: jnp.ndarray, ref_ring: jnp.ndarray,
+                       nearby_scan: int, want_same_ring: bool,
+                       chunk: int = 8192):
+    """Batched odom_window_mins: sel (B,Q,3), ref (B,M,3). Identical
+    per-stream semantics; the chunk matmul is a batched MXU contraction and
+    the ring gather is one flat op."""
+    from aloam_tpu.utils.batch import bgather
+    bsz, q_n = sel.shape[:2]
+    m = ref.shape[1]
+    pad = (-m) % chunk
+    if pad:
+        ref = jnp.pad(ref, ((0, 0), (0, pad), (0, 0)))
+        ref_mask = jnp.pad(ref_mask, ((0, 0), (0, pad)))
+        ref_ring = jnp.pad(ref_ring, ((0, 0), (0, pad)))
+    n_chunks = ref.shape[1] // chunk
+
+    center = jnp.mean(sel, axis=1, keepdims=True)            # (B, 1, 3)
+    qc = sel - center
+    rc = ref - center
+    q2 = jnp.sum(qc * qc, axis=-1, keepdims=True)            # (B, Q, 1)
+
+    def d2_of(i):
+        r = jax.lax.dynamic_slice(rc, (0, i * chunk, 0),
+                                  (bsz, chunk, 3))
+        rm = jax.lax.dynamic_slice(ref_mask, (0, i * chunk), (bsz, chunk))
+        r2 = jnp.sum(r * r, axis=-1)
+        cross = jnp.einsum("bqc,bkc->bqk", qc, r,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(q2 - 2.0 * cross + r2[:, None, :], 0.0)
+        return jnp.where(rm[:, None, :], d2, _INF)
+
+    def merge(best, d2, i):
+        best_d, best_i = best
+        loc = jnp.min(d2, axis=-1)
+        loci = jnp.argmin(d2, axis=-1).astype(jnp.int32) + i * chunk
+        better = loc < best_d
+        return (jnp.where(better, loc, best_d),
+                jnp.where(better, loci, best_i))
+
+    init = (jnp.full((bsz, q_n), _INF), jnp.zeros((bsz, q_n), jnp.int32))
+
+    def body1(carry, i):
+        return merge(carry, d2_of(i), i), None
+
+    (d2_nn, nn), _ = jax.lax.scan(body1, init,
+                                  jnp.arange(n_chunks, dtype=jnp.int32))
+    ring_nn = bgather(ref_ring, nn)                          # (B, Q)
+
+    def body2(carry, i):
+        d2 = d2_of(i)
+        ring = jax.lax.dynamic_slice(ref_ring, (0, i * chunk), (bsz, chunk))
+        adiff = jnp.abs(ring[:, None, :] - ring_nn[:, :, None])
+        diff_w = (adiff >= 1) & (adiff <= nearby_scan)
+        out_diff = merge(carry[0], jnp.where(diff_w, d2, _INF), i)
+        if not want_same_ring:
+            return (out_diff,), None
+        gidx = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        same_w = (adiff == 0) & (gidx[None, None, :] != nn[:, :, None])
+        out_same = merge(carry[1], jnp.where(same_w, d2, _INF), i)
+        return (out_diff, out_same), None
+
+    init2 = (init,) if not want_same_ring else (init, init)
+    out, _ = jax.lax.scan(body2, init2,
+                          jnp.arange(n_chunks, dtype=jnp.int32))
+    if not want_same_ring:
+        (d2_diff, idx_diff), = out
+        return d2_nn, nn, d2_diff, idx_diff
+    (d2_diff, idx_diff), (d2_same, idx_same) = out
+    return d2_nn, nn, d2_diff, idx_diff, d2_same, idx_same
+
+
 def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
         k: int, chunk: int = 8192):
     """k-NN dispatcher: single matmul when (Q, M) fits comfortably,

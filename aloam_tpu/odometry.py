@@ -137,6 +137,110 @@ def plane_correspondences(flat: PointCloud, last: PointCloud,
     return solver.PlaneFactors(p=flat.xyz, n=n, d=d, mask=valid, s=s)
 
 
+def _interp_pose_b(q, t, s):
+    """Batched _interp_pose: q (B,4), t (B,3), s (B,N)."""
+    b, n = s.shape
+    qs = geo.slerp(jnp.broadcast_to(geo.qidentity(), (b, n, 4)),
+                   jnp.broadcast_to(q[:, None, :], (b, n, 4)), s)
+    return qs, s[..., None] * t[:, None, :]
+
+
+def _transform_to_start_b(q, t, pts, s=None):
+    """Batched TransformToStart: q (B,4), t (B,3), pts (B,N,3)."""
+    if s is None:
+        return geo.qrot(q[:, None, :], pts) + t[:, None, :]
+    qs, ts = _interp_pose_b(q, t, s)
+    return geo.qrot(qs, pts) + ts
+
+
+def transform_to_end_b(pc: PointCloud, q, t, cfg: AloamConfig) -> PointCloud:
+    """Batched transform_to_end."""
+    s = _point_s(pc, cfg)
+    un = _transform_to_start_b(q, t, pc.xyz, s)
+    end = geo.qrot_inv(q[:, None, :], un - t[:, None, :])
+    return pc._replace(xyz=end, intensity=jnp.floor(pc.intensity))
+
+
+def edge_correspondences_b(sharp: PointCloud, last: PointCloud,
+                           q, t, cfg: AloamConfig) -> solver.EdgeFactors:
+    """Batched edge_correspondences (leaves carry a leading stream axis)."""
+    from aloam_tpu.neighbors import odom_window_mins_b
+    from aloam_tpu.utils.batch import bgather
+    s = _point_s(sharp, cfg) if cfg.distortion else None
+    sel = _transform_to_start_b(q, t, sharp.xyz, s)
+    d2_nn, nn, d2_diff, idx2 = odom_window_mins_b(
+        sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
+        want_same_ring=False, chunk=cfg.knn_chunk)
+    valid = sharp.mask & (d2_nn < cfg.dist_sq_threshold) \
+        & (d2_diff < cfg.dist_sq_threshold)
+    return solver.EdgeFactors(p=sharp.xyz, a=bgather(last.xyz, nn),
+                              b=bgather(last.xyz, idx2), mask=valid, s=s)
+
+
+def plane_correspondences_b(flat: PointCloud, last: PointCloud,
+                            q, t, cfg: AloamConfig) -> solver.PlaneFactors:
+    """Batched plane_correspondences."""
+    from aloam_tpu.neighbors import odom_window_mins_b
+    from aloam_tpu.utils.batch import bgather
+    s = _point_s(flat, cfg) if cfg.distortion else None
+    sel = _transform_to_start_b(q, t, flat.xyz, s)
+    d2_nn, nn, val3, idx3, val2, idx2 = odom_window_mins_b(
+        sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
+        want_same_ring=True, chunk=cfg.knn_chunk)
+    valid = flat.mask & (d2_nn < cfg.dist_sq_threshold) \
+        & (val2 < cfg.dist_sq_threshold) & (val3 < cfg.dist_sq_threshold)
+
+    a = bgather(last.xyz, nn)
+    n = jnp.cross(a - bgather(last.xyz, idx2), a - bgather(last.xyz, idx3))
+    n_norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(n_norm, 1e-12)
+    valid = valid & (n_norm[..., 0] > 1e-6)
+    d = -jnp.sum(n * a, axis=-1)
+    return solver.PlaneFactors(p=flat.xyz, n=n, d=d, mask=valid, s=s)
+
+
+def odometry_step_b(state: OdomState, feats: ScanFeatures,
+                    cfg: AloamConfig):
+    """Batched odometry_step: all state/feature leaves carry a leading
+    stream axis. Correspondences use the flat-op batched kernels; the 6-dof
+    LM solve has no gathers, so a plain vmap is optimal there."""
+    import jax
+    q, t = state.q_lc, state.t_lc
+    lm_b = jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
+        (e, p), qq, tt, cfg.odom_lm_iters, cfg.huber_delta))
+    metrics = None
+    degen = None
+    for _ in range(cfg.odom_outer_rounds):
+        edges = edge_correspondences_b(feats.sharp, state.corner_last,
+                                       q, t, cfg)
+        planes = plane_correspondences_b(feats.flat, state.surf_last,
+                                         q, t, cfg)
+        q, t, stats = lm_b(edges, planes, q, t)
+        d = stats.clamped + stats.nonfinite
+        degen = d if degen is None else degen + d
+        metrics = OdomMetrics(
+            corner_corr=jnp.sum(edges.mask, axis=1),
+            plane_corr=jnp.sum(planes.mask, axis=1),
+            cost0=stats.cost0, cost=stats.cost, degenerate=degen)
+
+    inited = state.initialized[:, None]
+    q_lc = jnp.where(inited, q, geo.qidentity())
+    t_lc = jnp.where(inited, t, 0.0)
+    q_w, t_w = geo.compose(state.q_w, state.t_w, q_lc, t_lc)
+
+    if cfg.distortion:
+        corner_last = transform_to_end_b(feats.less_sharp, q_lc, t_lc, cfg)
+        surf_last = transform_to_end_b(feats.less_flat, q_lc, t_lc, cfg)
+    else:
+        corner_last, surf_last = feats.less_sharp, feats.less_flat
+
+    new_state = OdomState(
+        q_w=q_w, t_w=t_w, q_lc=q_lc, t_lc=t_lc,
+        corner_last=corner_last, surf_last=surf_last,
+        initialized=jnp.ones_like(state.initialized))
+    return new_state, metrics
+
+
 def odometry_step(state: OdomState, feats: ScanFeatures,
                   cfg: AloamConfig):
     """One odometry frame. Returns (new_state, metrics).

@@ -53,14 +53,16 @@ def batched_init(cfg: AloamConfig, batch: int):
 
 
 def batched_step_jit(cfg: AloamConfig, donate: bool = True):
-    """Single-chip vmapped step over a leading stream axis (no mesh).
+    """Single-chip batched step over a leading stream axis (no mesh).
 
     The per-chip throughput lever (BASELINE config 5 / VERDICT r1 task 1):
     one SLAM step is latency-bound (~30 µs/op tail, small gathers), so B
     independent streams per chip amortize dispatch and row-latency across
-    the batch. State is donated -> map buffers update in place."""
-    vstep = jax.vmap(lambda s, x, m: pipeline.step(s, x, m, cfg))
-    return jax.jit(vstep, donate_argnums=(0,) if donate else ())
+    the batch. Uses the explicit flat-op batched step (pipeline.step_b) —
+    NOT jax.vmap, whose batched gathers/scatters measured ~100x slower.
+    State is donated -> map buffers update in place."""
+    f = lambda s, x, m: pipeline.step_b(s, x, m, cfg)  # noqa: E731
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
 def batched_step_fn(cfg: AloamConfig, mesh: Mesh):
@@ -69,7 +71,7 @@ def batched_step_fn(cfg: AloamConfig, mesh: Mesh):
     Returns f(batched_state, xyz (B, n_raw, 3), mask (B, n_raw))
     -> (batched_state, batched_outputs).
     """
-    vstep = jax.vmap(lambda s, x, m: pipeline.step(s, x, m, cfg))
+    vstep = lambda s, x, m: pipeline.step_b(s, x, m, cfg)  # noqa: E731
     shard = NamedSharding(mesh, P("data"))
 
     def put(tree):

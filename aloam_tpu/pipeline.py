@@ -146,6 +146,63 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
     return new_state, outputs
 
 
+def step_b(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
+           cfg: AloamConfig):
+    """Explicitly batched step: state leaves (B, ·), xyz (B, n_raw, 3).
+
+    NOT jax.vmap(step): vmapped gathers/scatters lower ~100x slower on this
+    backend (utils/batch.py), so every gather/scatter-bearing kernel has a
+    flat-op ``*_b`` twin and this mirrors step() on top of them. Metrics
+    come out as (B, n_metrics). Requires mapping_skip_frame <= 1 (batched
+    streams map every frame, the HDL-64 launch default)."""
+    from aloam_tpu.frontend import extract_features_b, register_scan_b
+
+    assert cfg.mapping_skip_frame <= 1, \
+        "batched step supports mapping_skip_frame <= 1 only"
+    rc, curv, ovf = register_scan_b(xyz, mask, cfg)
+    feats = extract_features_b(rc, curv, cfg)
+
+    odom, om = od.odometry_step_b(state.odom, feats, cfg)
+
+    q_hf = geo.qmul(state.map.q_wmap_wodom, odom.q_w)
+    t_hf = geo.qrot(state.map.q_wmap_wodom, odom.t_w) + state.map.t_wmap_wodom
+
+    map_state, mm = mp.mapping_step_b(state.map, odom.corner_last,
+                                      odom.surf_last, odom.q_w, odom.t_w,
+                                      cfg)
+
+    bsz = xyz.shape[0]
+    f32 = jnp.float32
+
+    def vec(x):
+        return jnp.broadcast_to(jnp.asarray(x, f32), (bsz,))
+
+    metrics = jnp.stack([
+        vec(om.corner_corr), vec(om.plane_corr), vec(om.cost),
+        vec(mm.corner_factors), vec(mm.surf_factors), vec(mm.solved),
+        vec(ovf + feats.overflow), vec(mm.overflow), vec(mm.evicted),
+        vec(feats.sharp.count()), vec(feats.flat.count()),
+        vec(feats.less_sharp.count()), vec(feats.less_flat.count()),
+        vec(om.degenerate), vec(mm.degenerate),
+    ], axis=-1)
+
+    registered = registered_mask = None
+    if cfg.emit_registered:
+        full = rc.xyz.reshape(bsz, -1, 3)
+        registered = geo.qrot(map_state.q_w[:, None, :], full) \
+            + map_state.t_w[:, None, :]
+        slot = jnp.arange(rc.xyz.shape[2], dtype=jnp.int32)[None, None, :]
+        registered_mask = (slot < rc.cnt[:, :, None]).reshape(bsz, -1)
+
+    outputs = SlamOutputs(q_odom=odom.q_w, t_odom=odom.t_w,
+                          q_map=map_state.q_w, t_map=map_state.t_w,
+                          q_hf=q_hf, t_hf=t_hf, metrics=metrics,
+                          registered=registered,
+                          registered_mask=registered_mask)
+    new_state = SlamState(odom=odom, map=map_state, frame=state.frame + 1)
+    return new_state, outputs
+
+
 def run_sequence(state: SlamState, xyz_seq: jnp.ndarray,
                  mask_seq: jnp.ndarray, cfg: AloamConfig):
     """`lax.scan` the fused step over a device-resident (F, n_raw, ·) scan

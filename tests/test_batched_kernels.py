@@ -1,0 +1,252 @@
+"""Batched (``*_b``) kernels vs their single-stream twins.
+
+Every gather/scatter-bearing kernel carries an explicitly batched twin
+(``aloam_tpu/utils/batch.py`` explains why ``jax.vmap`` is not used). This
+file proves each twin reproduces the single-stream kernel per stream.
+
+Equivalence is asserted *per kernel* (under jit), never as a jitted
+full-trajectory comparison: XLA fuses the single and batched programs
+differently, and the resulting f32 rounding flips threshold gates
+(corr-distance / plane-inlier / eigen-ratio). Measured on the tiny test
+scene, the SAME single-stream step jitted vs eager already drifts up to
+21 mm and ±11 factor counts after two frames — so a tight jitted
+batched-vs-single trajectory assert would test XLA's rounding, not our
+batching. An eager op-by-op audit of the full ``pipeline.step_b`` matched
+``pipeline.step`` exactly (diff 0 everywhere) but takes minutes, so the
+trajectory-level guard here is GT-tracking (test_pipeline_step_b_tracks_gt)
+plus these kernel equivalences.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aloam_tpu.config import AloamConfig
+from aloam_tpu import odometry as od
+from aloam_tpu import mapping as mp
+from aloam_tpu import pipeline
+from aloam_tpu.frontend import (extract_features, extract_features_b,
+                                register_scan, register_scan_b,
+                                voxel_downsample_masked,
+                                voxel_downsample_masked_b)
+from aloam_tpu.io import synthetic as syn
+from aloam_tpu.ops import gridmap
+
+CFG = AloamConfig(
+    scan_lines=16, minimum_range=0.3,
+    line_resolution=0.2, plane_resolution=0.4,
+    n_raw=4096, ring_cap=256, less_flat_cap=2048,
+    map_table_corner=1024, map_table_surf=2048,
+    corner_stack_cap=256, surf_stack_cap=1024,
+)
+B = 3
+
+
+def _tree_rows(tree, b):
+    return jax.tree.map(lambda x: x[b], tree)
+
+
+def _assert_rows_match(single_list, batched, atol=1e-6, count_atol=0.0):
+    """Each stream's slice of the batched output must match its
+    single-stream twin. Bool/int leaves are counts/masks (count_atol);
+    float leaves get atol."""
+    for b in range(B):
+        sl = jax.tree.leaves(single_list[b])
+        bl = jax.tree.leaves(_tree_rows(batched, b))
+        assert len(sl) == len(bl)
+        for s, bb in zip(sl, bl):
+            s, bb = np.asarray(s), np.asarray(bb)
+            assert s.shape == bb.shape, (s.shape, bb.shape)
+            if s.dtype == bool or np.issubdtype(s.dtype, np.integer):
+                diff = np.abs(s.astype(np.float64) - bb.astype(np.float64))
+                assert diff.max(initial=0.0) <= count_atol, diff.max()
+            else:
+                np.testing.assert_allclose(s, bb, atol=atol, rtol=0)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    out = []
+    for b in range(B):
+        scans, _ = syn.make_sequence(2, scan_lines=16, n_azimuth=256,
+                                     seed=30 + b, speed=1.0 + 0.5 * b)
+        out.append([syn.pad_scan(s, CFG.n_raw) for s in scans])
+    return out
+
+
+@pytest.fixture(scope="module")
+def stacked(frames):
+    xyz = jnp.asarray(np.stack([frames[b][0][0] for b in range(B)]))
+    mask = jnp.asarray(np.stack([frames[b][0][1] for b in range(B)]))
+    return xyz, mask
+
+
+@pytest.fixture(scope="module")
+def singles(frames):
+    f = jax.jit(lambda x, m: register_scan(x, m, CFG))
+    return [f(jnp.asarray(frames[b][0][0]), jnp.asarray(frames[b][0][1]))
+            for b in range(B)]
+
+
+def test_register_scan_b_matches(frames, stacked, singles):
+    rc_b, curv_b, ovf_b = jax.jit(
+        lambda x, m: register_scan_b(x, m, CFG))(*stacked)
+    _assert_rows_match([(s[0], s[1]) for s in singles], (rc_b, curv_b))
+    assert int(ovf_b) == sum(int(s[2]) for s in singles)
+
+
+def test_extract_features_b_matches(stacked, singles):
+    f1 = jax.jit(lambda rc, cv: extract_features(rc, cv, CFG))
+    feats_s = [f1(s[0], s[1]) for s in singles]
+    rc_b, curv_b, _ = jax.jit(
+        lambda x, m: register_scan_b(x, m, CFG))(*stacked)
+    feats_b = jax.jit(
+        lambda rc, cv: extract_features_b(rc, cv, CFG))(rc_b, curv_b)
+    for fld in ["sharp", "less_sharp", "flat", "less_flat", "full"]:
+        _assert_rows_match([getattr(f, fld) for f in feats_s],
+                           getattr(feats_b, fld))
+
+
+def test_voxel_downsample_b_matches(rng):
+    vals = rng.uniform(-5, 5, size=(B, 500, 4)).astype(np.float32)
+    m = rng.uniform(size=(B, 500)) > 0.2
+    f1 = jax.jit(lambda v, mm: voxel_downsample_masked(v, mm, 0.4, 256))
+    vs = [f1(jnp.asarray(vals[b]), jnp.asarray(m[b])) for b in range(B)]
+    vb = jax.jit(lambda v, mm: voxel_downsample_masked_b(v, mm, 0.4, 256))(
+        jnp.asarray(vals), jnp.asarray(m))
+    _assert_rows_match([(v[0], v[1]) for v in vs], (vb[0], vb[1]))
+    assert np.array_equal(np.asarray(vb[2]),
+                          np.asarray([int(v[2]) for v in vs]))
+
+
+@pytest.fixture(scope="module")
+def grids(rng_mod):
+    rng = rng_mod
+    gs = [gridmap.empty(CFG.map_table_surf, CFG.map_bucket_surf)
+          for _ in range(B)]
+    pts = rng.uniform(-30, 30, size=(B, 400, 3)).astype(np.float32)
+    ints = rng.uniform(size=(B, 400)).astype(np.float32)
+    msk = rng.uniform(size=(B, 400)) > 0.1
+    center = rng.integers(-2, 2, size=(B, 3)).astype(np.int32)
+    window = jnp.asarray([50, 50, 30], jnp.int32)
+    f1 = jax.jit(lambda g, p, i, m, c: gridmap.insert(
+        g, p, i, m, 0.4, 2.0, c, window))
+    outs = [f1(gs[b], jnp.asarray(pts[b]), jnp.asarray(ints[b]),
+               jnp.asarray(msk[b]), jnp.asarray(center[b]))
+            for b in range(B)]
+    gb = jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
+    fb = jax.jit(lambda g, p, i, m, c: gridmap.insert_b(
+        g, p, i, m, 0.4, 2.0, c, window))
+    outb = fb(gb, jnp.asarray(pts), jnp.asarray(ints), jnp.asarray(msk),
+              jnp.asarray(center))
+    return outs, outb, rng
+
+
+@pytest.fixture(scope="module")
+def rng_mod():
+    return np.random.default_rng(7)
+
+
+def test_gridmap_insert_b_matches(grids):
+    outs, outb, _ = grids
+    _assert_rows_match([o[0] for o in outs], outb[0])
+    _assert_rows_match([tuple(o[1:]) for o in outs], tuple(outb[1:]))
+
+
+def test_gridmap_knn_b_matches(grids):
+    outs, outb, rng = grids
+    g2 = [o[0] for o in outs]
+    g2b = outb[0]
+    q = rng.uniform(-30, 30, size=(B, 100, 3)).astype(np.float32)
+    f1 = jax.jit(lambda g, qq: gridmap.knn(g, qq, 5, 2.0, 1.0))
+    ks = [f1(g2[b], jnp.asarray(q[b])) for b in range(B)]
+    kb = jax.jit(lambda g, qq: gridmap.knn_b(g, qq, 5, 2.0, 1.0))(
+        g2b, jnp.asarray(q))
+    _assert_rows_match(ks, kb, atol=1e-5)
+    # query chunking changes fusion, not candidates: d2 rounding may move a
+    # near-tie, so compare distances loosely and skip neighbor coordinates
+    kb2 = jax.jit(lambda g, qq: gridmap.knn_b(
+        g, qq, 5, 2.0, 1.0, query_chunk=32))(g2b, jnp.asarray(q))
+    _assert_rows_match([k[0] for k in ks], kb2[0], atol=2e-3)
+
+
+def test_count_near_b_matches(grids):
+    outs, outb, _ = grids
+    center = jnp.asarray(np.stack([[0, 0, 0], [1, 1, 0], [-2, 0, 1]]),
+                         jnp.int32)
+    half = jnp.asarray([3, 3, 2], jnp.int32)
+    singles = [gridmap.count_near(outs[b][0], center[b], half)
+               for b in range(B)]
+    batched = gridmap.count_near_b(outb[0], center, half)
+    assert np.array_equal(np.asarray(batched),
+                          np.asarray([int(s) for s in singles]))
+
+
+@pytest.fixture(scope="module")
+def populated(frames):
+    """Single-stream states after frame 0 + frame-1 features, both per
+    stream and stacked — the common starting point for the step-level
+    equivalence tests."""
+    ff = jax.jit(lambda x, m: extract_features(
+        *register_scan(x, m, CFG)[:2], CFG))
+    feats0 = [ff(jnp.asarray(frames[b][0][0]), jnp.asarray(frames[b][0][1]))
+              for b in range(B)]
+    feats1 = [ff(jnp.asarray(frames[b][1][0]), jnp.asarray(frames[b][1][1]))
+              for b in range(B)]
+    ostep = jax.jit(lambda s, f: od.odometry_step(s, f, CFG))
+    ost1 = [ostep(od.init_state(CFG), feats0[b])[0] for b in range(B)]
+    q0, t0 = jnp.asarray([1., 0, 0, 0]), jnp.zeros(3)
+    mstep0 = jax.jit(lambda s, c, f: mp.mapping_step(s, c, f, q0, t0, CFG))
+    mst1 = [mstep0(mp.init_state(CFG), feats0[b].less_sharp,
+                   feats0[b].less_flat)[0] for b in range(B)]
+    stack = lambda trees: jax.tree.map(  # noqa: E731
+        lambda *xs: jnp.stack(xs), *trees)
+    return feats1, ost1, mst1, stack(feats1), stack(ost1), stack(mst1)
+
+
+def test_odometry_step_b_matches(populated):
+    feats1, ost1, _, feats1_b, ost1_b, _ = populated
+    f1 = jax.jit(lambda s, f: od.odometry_step(s, f, CFG))
+    singles = [f1(ost1[b], feats1[b]) for b in range(B)]
+    fb = jax.jit(lambda s, f: od.odometry_step_b(s, f, CFG))
+    st_b, m_b = fb(ost1_b, feats1_b)
+    # pose: solver rounding differs (batched LU); counts: a rounding flip
+    # of a 25 m^2 corr gate may move a couple of correspondences
+    _assert_rows_match([(s[0].q_w, s[0].t_w, s[0].q_lc, s[0].t_lc)
+                        for s in singles],
+                       (st_b.q_w, st_b.t_w, st_b.q_lc, st_b.t_lc),
+                       atol=5e-4)
+    _assert_rows_match([s[1] for s in singles], m_b,
+                       atol=5e-2, count_atol=3)
+
+
+def test_mapping_step_b_matches(populated):
+    feats1, ost1, mst1, feats1_b, ost1_b, mst1_b = populated
+    f1 = jax.jit(lambda s, c, f, q, t: mp.mapping_step(s, c, f, q, t, CFG))
+    singles = [f1(mst1[b], feats1[b].less_sharp, feats1[b].less_flat,
+                  ost1[b].q_w, ost1[b].t_w) for b in range(B)]
+    fb = jax.jit(lambda s, c, f, q, t: mp.mapping_step_b(s, c, f, q, t, CFG))
+    st_b, m_b = fb(mst1_b, feats1_b.less_sharp, feats1_b.less_flat,
+                   ost1_b.q_w, ost1_b.t_w)
+    # pose atol = the jit noise floor: the mapping solve sits behind three
+    # rounding-sensitive gates (map-knn 1 m², eigen ratio, 0.2 m plane
+    # inlier), and the single-stream step jitted-vs-eager already moves
+    # up to 21 mm on this scene (module docstring); measured jitted
+    # batched-vs-single deltas here are ~7 mm with identical eager math.
+    _assert_rows_match([(s[0].q_w, s[0].t_w, s[0].q_wmap_wodom,
+                         s[0].t_wmap_wodom) for s in singles],
+                       (st_b.q_w, st_b.t_w, st_b.q_wmap_wodom,
+                        st_b.t_wmap_wodom), atol=2.5e-2)
+    _assert_rows_match([s[1] for s in singles], m_b,
+                       atol=5e-2, count_atol=8)
+    # the inserted surf map can't be compared element-wise: the pose delta
+    # moves world points across voxel boundaries, changing voxel ids and
+    # hash slots. insert_b exactness on identical inputs is pinned by
+    # test_gridmap_insert_b_matches; here assert the maps agree in mass.
+    for b in range(B):
+        live_s = int(np.sum(np.asarray(
+            singles[b][0].surf.cell[..., 0]) != gridmap._EMPTY))
+        live_b = int(np.sum(np.asarray(
+            st_b.surf.cell[b][..., 0]) != gridmap._EMPTY))
+        assert abs(live_s - live_b) <= 8, (b, live_s, live_b)
