@@ -79,6 +79,8 @@ class AloamConfig:
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
     map_query_chunk: int = 0            # gridmap.knn query chunking (0 = off;
                                         # set for batched streams, see knn doc)
+    map_cell_cap: int = 4096            # knn_b distinct query cells per
+                                        # stream; spills are gated + counted
     # persistent spatial-hash map (ops/gridmap.py): the 2x2x2-cell query
     # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq); bucket caps
     # must hold a cell's worst-case voxel count (cell/leaf + 1)^2-ish for

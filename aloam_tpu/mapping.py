@@ -143,12 +143,14 @@ def surf_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
 
 
 def corner_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
-                          q, t, cfg: AloamConfig) -> solver.EdgeFactors:
+                          q, t, cfg: AloamConfig):
     """Batched corner_associations: stack (B,N,3), grid leaves (B,H,Bk,·),
-    q (B,4), t (B,3)."""
+    q (B,4), t (B,3). Returns (EdgeFactors, n_spilled) — queries beyond
+    knn_b's cell capacity are gated out and counted, never silent."""
     sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
-    d2, near = gridmap.knn_b(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
-                             cfg.map_query_chunk)
+    d2, near, spilled = gridmap.knn_b(grid, sel, 5, cfg.knn_cell,
+                                      cfg.knn_radius, cfg.map_query_chunk,
+                                      cfg.map_cell_cap)
     gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
     near = jnp.where(gate[..., None, None], near, 0.0)
 
@@ -161,15 +163,17 @@ def corner_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
 
     a = center + cfg.map_edge_half_len * direction
     b = center - cfg.map_edge_half_len * direction
-    return solver.EdgeFactors(p=stack_xyz, a=a, b=b, mask=gate & is_line)
+    return solver.EdgeFactors(p=stack_xyz, a=a, b=b,
+                              mask=gate & is_line), spilled
 
 
 def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
-                        q, t, cfg: AloamConfig) -> solver.PlaneFactors:
-    """Batched surf_associations."""
+                        q, t, cfg: AloamConfig):
+    """Batched surf_associations. Returns (PlaneFactors, n_spilled)."""
     sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
-    d2, near = gridmap.knn_b(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
-                             cfg.map_query_chunk)
+    d2, near, spilled = gridmap.knn_b(grid, sel, 5, cfg.knn_cell,
+                                      cfg.knn_radius, cfg.map_query_chunk,
+                                      cfg.map_cell_cap)
     gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
     near = jnp.where(gate[..., None, None], near, 0.0)
 
@@ -189,7 +193,7 @@ def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
                   + neg_oa[..., None])
     plane_ok = jnp.all(res <= cfg.map_plane_tol, axis=-1)
     return solver.PlaneFactors(p=stack_xyz, n=n_hat, d=neg_oa,
-                               mask=gate & plane_ok)
+                               mask=gate & plane_ok), spilled
 
 
 def mapping_step_b(state: MapState, corner_in: PointCloud,
@@ -226,13 +230,15 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
         (e, p), qq, tt, cfg.map_lm_iters, cfg.huber_delta))
     n_edge = n_plane = None
     degen = jnp.zeros(q_w.shape[0], jnp.int32)
+    spills = jnp.int32(0)
     for _ in range(cfg.map_outer_rounds):
-        edges = corner_associations_b(
+        edges, sp1 = corner_associations_b(
             corner_stack, c_ds_mask & solve_ok[:, None], state.corner,
             q_w, t_w, cfg)
-        planes = surf_associations_b(
+        planes, sp2 = surf_associations_b(
             surf_stack, s_ds_mask & solve_ok[:, None], state.surf,
             q_w, t_w, cfg)
+        spills = spills + sp1 + sp2
         q_w, t_w, stats = lm_b(edges, planes, q_w, t_w)
         degen = degen + stats.clamped + stats.nonfinite
         n_edge = jnp.sum(edges.mask, axis=1)
@@ -268,7 +274,7 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     metrics = MapMetrics(
         from_map_corner=n_map_corner, from_map_surf=n_map_surf,
         corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
-        overflow=(dc + ds_ + d1 + d2) + dr1 + dr2,
+        overflow=(dc + ds_ + d1 + d2) + dr1 + dr2 + spills,
         evicted=ev1 + ev2, degenerate=degen)
     return new_state, metrics
 

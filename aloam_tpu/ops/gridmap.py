@@ -25,7 +25,18 @@ Semantics relative to the reference:
   query-ready at all times. Gated 5-NN queries cover the 1.0 m² gate
   exactly via the 2×2×2 block of 2 m cells around each query.
 
-Bucket overflow and evictions are surfaced as metrics.
+Bucket overflow, evictions and capacity spills are surfaced as metrics.
+
+**Memory layout (measured on this TPU, round 2).** Coordinate tables are
+stored with the bucket and coordinate axes MERGED into one minor dimension
+— ``pts: (H, 3*Bk)`` f32, ``cell: (H, 3*Bk)`` i16 (row-major interleaved
+[x0 y0 z0 x1 …], so ``reshape(..., Bk, 3)`` is a free view). A table
+shaped ``(H, Bk, 3)`` makes every bucket-row gather ~7x slower (150 vs
+21 ns/row: the gather decomposes into minor-dim runs of 3, and copies of
+such arrays lane-pad 3 -> 128, a 42x memory blowup that OOM'd at B=16).
+The same rule drives the kernels below: gathers/scatters operate on
+wide-minor-dim operands; (N, 3)-row scatters measured 90 ns/update vs
+~10 ns scalar updates into flat or (H, Bk)-form operands.
 """
 
 from __future__ import annotations
@@ -41,10 +52,14 @@ _EMPTY = 32767  # i16 sentinel cell coordinate
 
 
 class GridMap(NamedTuple):
-    pts: jnp.ndarray    # (H, B, 3) voxel-centroid coordinates
-    inten: jnp.ndarray  # (H, B) averaged intensity
-    cell: jnp.ndarray   # (H, B, 3) i16 absolute cell coords; _EMPTY = free
-    vox: jnp.ndarray    # (H, B) i32 hashed voxel id (merge matching)
+    pts: jnp.ndarray    # (H, 3*Bk) f32 — interleaved xyz voxel centroids
+    inten: jnp.ndarray  # (H, Bk) averaged intensity
+    cell: jnp.ndarray   # (H, 3*Bk) i16 — interleaved absolute cell coords
+    vox: jnp.ndarray    # (H, Bk) i32 hashed voxel id (merge matching)
+
+    @property
+    def bucket_cap(self) -> int:
+        return self.vox.shape[-1]
 
 
 _FAR = 1e9  # empty-slot position sentinel: fails every distance gate
@@ -56,14 +71,19 @@ def empty(table_size: int, bucket_cap: int) -> GridMap:
     assert table_size & (table_size - 1) == 0, (
         f"table_size must be a power of two, got {table_size}")
     return GridMap(
-        pts=jnp.full((table_size, bucket_cap, 3), _FAR, jnp.float32),
+        pts=jnp.full((table_size, 3 * bucket_cap), _FAR, jnp.float32),
         inten=jnp.zeros((table_size, bucket_cap), jnp.float32),
-        cell=jnp.full((table_size, bucket_cap, 3), _EMPTY, jnp.int16),
+        cell=jnp.full((table_size, 3 * bucket_cap), _EMPTY, jnp.int16),
         vox=jnp.zeros((table_size, bucket_cap), jnp.int32))
 
 
+def _view3(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3*Bk) interleaved -> (..., Bk, 3) view (row-major identity)."""
+    return a.reshape(a.shape[:-1] + (a.shape[-1] // 3, 3))
+
+
 def n_valid(grid: GridMap) -> jnp.ndarray:
-    return jnp.sum(grid.cell[..., 0] != _EMPTY)
+    return jnp.sum(_view3(grid.cell)[..., 0] != _EMPTY)
 
 
 def count_near(grid: GridMap, center: jnp.ndarray,
@@ -72,11 +92,21 @@ def count_near(grid: GridMap, center: jnp.ndarray,
     the reference's local 5×5×3-cube map-point count that gates the mapping
     solve (laserMapping.cpp:531-554). One masked pass over the i16 cell
     table (~a few MB), no gathers."""
-    c = grid.cell.astype(jnp.int32)
-    live = grid.cell[..., 0] != _EMPTY
+    c = _view3(grid.cell).astype(jnp.int32)
+    live = c[..., 0] != _EMPTY
     near = jnp.all(jnp.abs(c - center[None, None, :])
                    <= half_cells[None, None, :], axis=-1)
     return jnp.sum(live & near)
+
+
+def count_near_b(grid: GridMap, center: jnp.ndarray,
+                 half_cells: jnp.ndarray) -> jnp.ndarray:
+    """Batched count_near: grid leaves (B, H, ·), center (B, 3) -> (B,)."""
+    c = _view3(grid.cell).astype(jnp.int32)
+    live = c[..., 0] != _EMPTY
+    near = jnp.all(jnp.abs(c - center[:, None, None, :])
+                   <= half_cells[None, None, None, :], axis=-1)
+    return jnp.sum(live & near, axis=(1, 2))
 
 
 def _cells_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
@@ -110,9 +140,9 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     (d2 (Q,k) ascending with +inf padding, nbrs (Q,k,3)).
 
     query_chunk > 0 processes queries in chunks of that size (lax.map):
-    the (Q, 8, B, 3) candidate gather is the biggest per-frame intermediate
-    (~100 MB at HDL-64 stack sizes), which matters when vmapping many
-    streams into one chip's HBM."""
+    the (Q, 8, Bk, 3) candidate gather is the biggest per-frame
+    intermediate, which matters when batching many streams into one chip's
+    HBM."""
     assert cell_size >= 2 * radius, (cell_size, radius)
     if query_chunk and query.shape[0] > query_chunk:
         n = query.shape[0]
@@ -123,10 +153,11 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
             lambda qq: knn(grid, qq, k, cell_size, radius), qs)
         return (d2.reshape(-1, k)[:n], nbrs.reshape(-1, k, 3)[:n])
     table_size = grid.pts.shape[0]
+    bucket_cap = grid.bucket_cap
     qcells = _cells_of(query - radius, cell_size)
     ncells = qcells[:, None, :] + _offsets8()[None]          # (Q, 8, 3)
     hh = _hash(ncells, table_size)
-    cand_pts = grid.pts[hh]                                  # (Q, 8, B, 3)
+    cand_pts = _view3(grid.pts[hh])                          # (Q, 8, Bk, 3)
 
     # No cell verification is needed for *gated* exactness: every point
     # within `radius` of the query lives in the 8 block cells, so
@@ -143,262 +174,308 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(dup[:, :, None], _INF, d2)
 
-    q, _, b, _ = cand_pts.shape
-    d2 = d2.reshape(q, 8 * b)
+    q = query.shape[0]
+    d2 = d2.reshape(q, 8 * bucket_cap)
     neg_top, pos = jax.lax.top_k(-d2, k)
-    nbrs = jnp.take_along_axis(cand_pts.reshape(q, 8 * b, 3),
+    nbrs = jnp.take_along_axis(cand_pts.reshape(q, 8 * bucket_cap, 3),
                                pos[..., None], axis=1)
     return -neg_top, nbrs
 
 
 def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
-          radius: float = 1.0, query_chunk: int = 0):
-    """Batched knn(): grid leaves carry a leading stream axis (B, H, Bk, ·),
-    query is (B, Q, 3). All gathers are single flat ops (utils.batch — a
-    vmapped gather measured ~100x slower on this backend). Returns
-    (d2 (B,Q,k), nbrs (B,Q,k,3))."""
+          radius: float = 1.0, query_chunk: int = 0, cell_cap: int = 4096):
+    """Batched knn() via shared-cell candidate dedup.
+
+    grid leaves carry a leading stream axis (B, H, ·); query is (B, Q, 3).
+    Returns (d2 (B,Q,k), nbrs (B,Q,k,3), n_spilled).
+
+    All queries whose shifted base cell floor((q-radius)/cell) coincides
+    see the SAME 2×2×2 bucket block, so the 8-bucket rows are gathered once
+    per *occupied cell* (≈Q/8 of them for SLAM stacks), not once per query
+    — the per-query form measured 3.1M gather rows at B=16; this form
+    gathers 8·cell_cap rows plus one *wide* row per query. Selection is k
+    passes of min/argmin + masked-sum coordinate extraction (measured
+    faster than lax.top_k, and it skips the final 12-byte-row gather).
+    Queries beyond `cell_cap` distinct cells are spilled: their d2 comes
+    back +inf (factors gated out) and they are counted in n_spilled —
+    never silent.
+    """
     from aloam_tpu.utils.batch import bgather
     assert cell_size >= 2 * radius, (cell_size, radius)
     bsz, q_n = query.shape[:2]
-    if query_chunk and q_n > query_chunk:
-        pad = (-q_n) % query_chunk
+    table_size = grid.pts.shape[1]
+    bucket_cap = grid.bucket_cap
+    n_cand = 8 * bucket_cap
+
+    # --- group queries by base cell (packed-key sort) ---------------------
+    qcell = _cells_of(query - radius, cell_size)            # (B, Q, 3)
+    rel = jnp.clip(qcell - jnp.min(qcell, axis=1, keepdims=True), 0, 1023)
+    key = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
+    order = jnp.argsort(key, axis=1)                        # (B, Q)
+    key_s = bgather(key, order)
+    seg = jnp.concatenate(
+        [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
+    cid_s = jnp.cumsum(seg.astype(jnp.int32), axis=1) - 1   # (B, Q)
+    n_spilled = jnp.sum(cid_s >= cell_cap)
+    cid_sc = jnp.minimum(cid_s, cell_cap)                   # spill slot
+
+    # cell coords per slot (one flat scatter; all writes per slot agree)
+    coff = (jnp.arange(bsz, dtype=jnp.int32) * (cell_cap + 1))[:, None]
+    qcell_s = bgather(qcell, order)
+    slot_cell = jnp.zeros((bsz * (cell_cap + 1), 3), jnp.int32).at[
+        (cid_sc + coff).reshape(-1)].set(qcell_s.reshape(-1, 3)).reshape(
+            bsz, cell_cap + 1, 3)[:, :cell_cap]
+
+    # --- per-cell candidate blocks (the deduped gather) -------------------
+    ncells = slot_cell[:, :, None, :] + _offsets8()[None, None]
+    hh = _hash(ncells, table_size)                          # (B, C, 8)
+    cand = bgather(grid.pts, hh)                            # (B, C, 8, 3Bk)
+    same = hh[..., :, None] == hh[..., None, :]
+    tri = jnp.tril(jnp.ones((8, 8), bool), -1)[None, None]
+    dup = jnp.any(same & tri, axis=-1)                      # (B, C, 8)
+    # poison duplicate buckets via the _FAR sentinel (fails every gate)
+    cand = jnp.where(dup[..., None], _FAR, cand)
+    cand_flat = cand.reshape(bsz, cell_cap, n_cand * 3)
+
+    # per-query cell slot, back in input order (flat scatter)
+    qoff = (jnp.arange(bsz, dtype=jnp.int32) * q_n)[:, None]
+    cid = jnp.zeros((bsz * q_n,), jnp.int32).at[
+        (order + qoff).reshape(-1)].set(cid_sc.reshape(-1)).reshape(
+            bsz, q_n)
+
+    # --- chunked dense distance + k-pass selection ------------------------
+    def chunk_knn(q_chunk, cid_chunk):
+        # one wide gather per query: its cell's full candidate block
+        crow = bgather(cand_flat, jnp.minimum(cid_chunk, cell_cap - 1))
+        crow = _view3(crow).reshape(q_chunk.shape[:2] + (n_cand, 3))
+        diff = crow - q_chunk[:, :, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)                  # (B, qc, n)
+        d2 = jnp.where((cid_chunk >= cell_cap)[..., None], _INF, d2)
+        iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        ds, nb = [], []
+        cur = d2
+        for _ in range(k):
+            am = jnp.argmin(cur, axis=-1)                   # (B, qc)
+            ds.append(jnp.min(cur, axis=-1))
+            sel = iota == am[..., None]
+            nb.append(jnp.sum(jnp.where(sel[..., None], crow, 0.0), axis=2))
+            cur = jnp.where(sel, _INF, cur)
+        return jnp.stack(ds, -1), jnp.stack(nb, -2)
+
+    qc = query_chunk if query_chunk else min(q_n, 2048)
+    if q_n > qc:
+        pad = (-q_n) % qc
         qp = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
-        qs = jnp.moveaxis(
-            qp.reshape(bsz, -1, query_chunk, 3), 1, 0)     # (C, B, qc, 3)
-        d2, nbrs = jax.lax.map(
-            lambda qq: knn_b(grid, qq, k, cell_size, radius), qs)
+        cp = jnp.pad(cid, ((0, 0), (0, pad)))
+        qs = jnp.moveaxis(qp.reshape(bsz, -1, qc, 3), 1, 0)
+        cs = jnp.moveaxis(cp.reshape(bsz, -1, qc), 1, 0)
+        d2, nbrs = jax.lax.map(lambda a: chunk_knn(*a), (qs, cs))
         d2 = jnp.moveaxis(d2, 0, 1).reshape(bsz, -1, k)[:, :q_n]
         nbrs = jnp.moveaxis(nbrs, 0, 1).reshape(bsz, -1, k, 3)[:, :q_n]
-        return d2, nbrs
-
-    table_size = grid.pts.shape[1]
-    bucket_cap = grid.pts.shape[2]
-    qcells = _cells_of(query - radius, cell_size)
-    ncells = qcells[:, :, None, :] + _offsets8()[None, None]   # (B, Q, 8, 3)
-    hh = _hash(ncells, table_size)
-    cand_pts = bgather(grid.pts, hh)                  # (B, Q, 8, Bk, 3)
-
-    same = hh[..., :, None] == hh[..., None, :]       # (B, Q, 8, 8)
-    tri = jnp.tril(jnp.ones((8, 8), bool), -1)[None, None]
-    dup = jnp.any(same & tri, axis=-1)                # (B, Q, 8)
-
-    diff = cand_pts - query[:, :, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(dup[..., None], _INF, d2)
-
-    d2 = d2.reshape(bsz, q_n, 8 * bucket_cap)
-    neg_top, pos = jax.lax.top_k(-d2, k)
-    flat_cand = cand_pts.reshape(bsz * q_n, 8 * bucket_cap, 3)
-    nbrs = bgather(flat_cand, pos.reshape(bsz * q_n, k))
-    return -neg_top, nbrs.reshape(bsz, q_n, k, 3)
+    else:
+        d2, nbrs = chunk_knn(query, cid)
+    return d2, nbrs, n_spilled
 
 
-def count_near_b(grid: GridMap, center: jnp.ndarray,
-                 half_cells: jnp.ndarray) -> jnp.ndarray:
-    """Batched count_near: center (B, 3) -> counts (B,)."""
-    c = grid.cell.astype(jnp.int32)
-    live = grid.cell[..., 0] != _EMPTY
-    near = jnp.all(jnp.abs(c - center[:, None, None, :])
-                   <= half_cells[None, None, None, :], axis=-1)
-    return jnp.sum(live & near, axis=(1, 2))
+def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
+             mask: jnp.ndarray, leaf: float, cell_size: float,
+             center: jnp.ndarray, window: jnp.ndarray,
+             point_cap: int = 32, touched_cap: int = 6144):
+    """Batched insert of one frame's voxel-downsampled stack per stream.
+
+    grid leaves (B, H, ·); pts (B, N, 3); center (B, 3) pose cell coords;
+    window (3,) half-extent in cells — entries outside center±window are
+    evictable first (the rolling-window discard, laserMapping.cpp:345-346).
+
+    Bucket-dedup dense design: points are sorted by bucket hash, every
+    *touched* bucket's tile is gathered ONCE, all its new points (≤
+    point_cap, voxel-downsample-bounded per cell) are merged/appended
+    against the 48 slots with dense one-hot algebra, and the finished tile
+    rows are scattered back — ~8x fewer gather/scatter rows than the
+    per-point form, and every row is wide (the layout rule in the module
+    docstring). Matching = same cell AND same voxel id; merge = midpoint
+    (iterated centroid). Appends fill slots in eviction-priority order:
+    empty < out-of-window (farthest first) < in-window (farthest first).
+
+    Returns (grid, merged (B,), appended (B,), evicted (B,), dropped (B,));
+    dropped counts every valid input point that neither merged nor
+    appended (bucket-slot pressure, point_cap or touched_cap spills).
+    """
+    from aloam_tpu.utils.batch import bgather
+    bsz, n = mask.shape
+    table_size = grid.vox.shape[1]
+    bucket_cap = grid.bucket_cap
+    cap_c, cap_p = touched_cap, point_cap
+
+    cell = _cells_of(pts, cell_size)                        # (B, N, 3)
+    vox = _vox_id(pts, leaf)
+    h = _hash(cell, table_size)
+    key = jnp.where(mask, h, table_size)
+
+    order = jnp.argsort(key, axis=1)                        # stable
+    key_s = bgather(key, order)
+    valid_s = key_s < table_size
+    pay = jnp.concatenate([pts, inten[..., None]], axis=-1)  # (B, N, 4)
+    pay_s = bgather(pay, order)
+    vox_s = bgather(vox, order)
+
+    seg = valid_s & jnp.concatenate(
+        [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
+    cid_s = jnp.cumsum(seg.astype(jnp.int32), axis=1) - 1   # (B, N)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (bsz, n), 1)
+    head = jax.lax.cummax(jnp.where(seg, iota_n, -1), axis=1)
+    rank = iota_n - head                                    # (B, N)
+    keep = valid_s & (cid_s >= 0) & (cid_s < cap_c) & (rank < cap_p)
+    cid_c = jnp.where(keep, cid_s, cap_c)
+
+    # --- dense per-bucket point lists (flat scalar scatters) --------------
+    coff = (jnp.arange(bsz, dtype=jnp.int32) * (cap_c + 1))[:, None]
+    brow = cid_c + coff                                     # (B, N)
+    flat_np = bsz * (cap_c + 1) * cap_p
+    # clamp rank inside the position formula: an unclamped dropped row's
+    # rank (up to N) would index into ANOTHER stream's bucket region
+    ppos = jnp.where(keep, brow * cap_p + jnp.minimum(rank, cap_p - 1),
+                     flat_np).reshape(-1)
+
+    def scat_f32(vals):
+        return jnp.zeros((flat_np,), jnp.float32).at[ppos].set(
+            vals.reshape(-1), mode="drop").reshape(
+                bsz, cap_c + 1, cap_p)[:, :cap_c]
+
+    ppx = scat_f32(jnp.where(keep, pay_s[..., 0], 0.0))
+    ppy = scat_f32(jnp.where(keep, pay_s[..., 1], 0.0))
+    ppz = scat_f32(jnp.where(keep, pay_s[..., 2], 0.0))
+    ppi = scat_f32(jnp.where(keep, pay_s[..., 3], 0.0))
+    pvox = jnp.zeros((flat_np,), jnp.int32).at[ppos].set(
+        vox_s.reshape(-1), mode="drop").reshape(
+            bsz, cap_c + 1, cap_p)[:, :cap_c]
+    cnt = jnp.zeros((bsz * (cap_c + 1),), jnp.int32).at[brow.reshape(-1)].add(
+        jnp.where(keep, 1, 0).reshape(-1), mode="drop").reshape(
+            bsz, cap_c + 1)[:, :cap_c]
+    slot_h = jnp.zeros((bsz * (cap_c + 1),), jnp.int32).at[
+        brow.reshape(-1)].set(key_s.reshape(-1), mode="drop").reshape(
+            bsz, cap_c + 1)[:, :cap_c]
+    used = cnt > 0                                          # (B, C)
+
+    # --- gather touched-bucket tiles --------------------------------------
+    s_pts = _view3(bgather(grid.pts, slot_h))               # (B, C, Bk, 3)
+    s_int = bgather(grid.inten, slot_h)                     # (B, C, Bk)
+    s_cell = _view3(bgather(grid.cell, slot_h)).astype(jnp.int32)
+    s_vox = bgather(grid.vox, slot_h)                       # (B, C, Bk)
+    occ = s_cell[..., 0] != _EMPTY
+
+    # --- dense merge ------------------------------------------------------
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap_c, cap_p), 2)
+    pvalid = iota_p < jnp.minimum(cnt, cap_p)[..., None]    # (B, C, P)
+    ppt = jnp.stack([ppx, ppy, ppz], axis=-1)               # (B, C, P, 3)
+    pcell = _cells_of(ppt, cell_size)                       # (B, C, P, 3)
+    match = (pvalid[..., None] & occ[:, :, None, :]
+             & (pvox[..., None] == s_vox[:, :, None, :])
+             & jnp.all(pcell[..., None, :] == s_cell[:, :, None, :, :],
+                       axis=-1))                            # (B, C, P, Bk)
+    has_match = jnp.any(match, axis=-1)                     # (B, C, P)
+    m_any = jnp.any(match, axis=2)                          # (B, C, Bk)
+    # voxel-downsampled stacks give ≤1 match per slot, but raw inputs can
+    # produce several (shared voxel / vox-hash collision): keep the
+    # highest-index match — scatter updates apply in order, so the old
+    # per-point form's last write won, and the stable bucket sort
+    # preserves original order
+    best = jnp.max(jnp.where(match, iota_p[..., None], -1), axis=2)
+    m_sel = match & (iota_p[..., None] == best[:, :, None, :])
+    mf = m_sel.astype(jnp.float32)
+    m_pt = jnp.einsum("bcpk,bcpf->bckf", mf, ppt)
+    m_in = jnp.einsum("bcpk,bcp->bck", mf, ppi)
+    s_pts = jnp.where(m_any[..., None], 0.5 * (s_pts + m_pt), s_pts)
+    s_int = jnp.where(m_any, 0.5 * (s_int + m_in), s_int)
+
+    # --- dense appends (slots by eviction priority) -----------------------
+    app = pvalid & ~has_match                               # (B, C, P)
+    arank = jnp.cumsum(app.astype(jnp.int32), axis=2) - 1
+    dist = jnp.max(jnp.abs(s_cell - center[:, None, None, :]), axis=-1)
+    in_win = jnp.all(jnp.abs(s_cell - center[:, None, None, :])
+                     <= window[None, None, None, :], axis=-1)
+    far = 4000.0 - jnp.minimum(dist.astype(jnp.float32), 4000.0)
+    prio = jnp.where(occ, jnp.where(in_win, 1e6 + far, 1e3 + far), 0.0)
+    slot_order = jnp.argsort(prio, axis=-1)                 # (B, C, Bk)
+    prio_sorted = jnp.sort(prio, axis=-1)
+
+    can_app = app & (arank < bucket_cap)
+    iota_k = jax.lax.broadcasted_iota(
+        jnp.int32, (bsz, cap_c, cap_p, bucket_cap), 3)
+    oh_rank = can_app[..., None] & (arank[..., None] == iota_k)
+    ohf = oh_rank.astype(jnp.float32)
+    slot_p = jnp.einsum("bcpk,bck->bcp", ohf,
+                        slot_order.astype(jnp.float32)).astype(jnp.int32)
+    chosen_prio = jnp.einsum("bcpk,bck->bcp", ohf, prio_sorted)
+
+    # one-hot write of appended points into their chosen slots
+    oh_slot = can_app[..., None] & (slot_p[..., None] == iota_k)
+    ohsf = oh_slot.astype(jnp.float32)
+    wr_any = jnp.any(oh_slot, axis=2)                       # (B, C, Bk)
+    wr_pt = jnp.einsum("bcpk,bcpf->bckf", ohsf, ppt)
+    wr_in = jnp.einsum("bcpk,bcp->bck", ohsf, ppi)
+    wr_cell = jnp.einsum("bcpk,bcpf->bckf", ohsf,
+                         pcell.astype(jnp.float32)).astype(jnp.int32)
+    # vox ids are arbitrary 32-bit hashes — NOT f32-exact; reduce as ints
+    wr_vox = jnp.sum(jnp.where(oh_slot, pvox[..., None], 0), axis=2)
+
+    s_pts = jnp.where(wr_any[..., None], wr_pt, s_pts)
+    s_int = jnp.where(wr_any, wr_in, s_int)
+    s_cell = jnp.where(wr_any[..., None], wr_cell, s_cell)
+    s_vox = jnp.where(wr_any, wr_vox, s_vox)
+
+    # --- scatter finished tiles back (wide rows, used buckets only) -------
+    hoff = (jnp.arange(bsz, dtype=jnp.int32) * table_size)[:, None]
+    dest = jnp.where(used, slot_h + hoff, bsz * table_size)  # (B, C)
+    flat = dest.reshape(-1)
+    new_pts = grid.pts.reshape(-1, 3 * bucket_cap).at[flat].set(
+        s_pts.reshape(bsz * cap_c, 3 * bucket_cap), mode="drop")
+    new_int = grid.inten.reshape(-1, bucket_cap).at[flat].set(
+        s_int.reshape(bsz * cap_c, bucket_cap), mode="drop")
+    new_cell = grid.cell.reshape(-1, 3 * bucket_cap).at[flat].set(
+        s_cell.astype(jnp.int16).reshape(bsz * cap_c, 3 * bucket_cap),
+        mode="drop")
+    new_vox = grid.vox.reshape(-1, bucket_cap).at[flat].set(
+        s_vox.reshape(bsz * cap_c, bucket_cap), mode="drop")
+
+    merged = jnp.sum(has_match & pvalid, axis=(1, 2))
+    appended = jnp.sum(can_app, axis=(1, 2))
+    evicted = jnp.sum(can_app & (chosen_prio >= 1e3), axis=(1, 2))
+    total_valid = jnp.sum(mask, axis=1)
+    dropped = total_valid - merged - appended
+
+    shp_w = (bsz, table_size, 3 * bucket_cap)
+    shp_n = (bsz, table_size, bucket_cap)
+    new_grid = GridMap(pts=new_pts.reshape(shp_w),
+                       inten=new_int.reshape(shp_n),
+                       cell=new_cell.reshape(shp_w),
+                       vox=new_vox.reshape(shp_n))
+    return new_grid, merged, appended, evicted, dropped
 
 
 def insert(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
            mask: jnp.ndarray, leaf: float, cell_size: float,
            center: jnp.ndarray, window: jnp.ndarray):
-    """Insert one frame's voxel-downsampled stack (≤1 point per map voxel).
-
-    center: the pose's cell coords (3,); window: half-extent in cells (3,)
-    — entries outside center±window are evictable (the rolling-window
-    discard, laserMapping.cpp:345-346 etc.).
-
-    Returns (grid, merged, appended, evicted, dropped).
-    """
-    table_size, bucket_cap, _ = grid.pts.shape
+    """Single-stream insert — delegates to the batched kernel (B=1), so
+    there is exactly one insert semantics to test and maintain. Dense-list
+    caps scale to the single-stream worst case (every point its own
+    bucket)."""
+    g1 = jax.tree.map(lambda x: x[None], grid)
     n = pts.shape[0]
-    cell = _cells_of(pts, cell_size)
-    vox = _vox_id(pts, leaf)
-    h = _hash(cell, table_size)
-
-    b_cell = grid.cell[h].astype(jnp.int32)                  # (N, B, 3)
-    b_vox = grid.vox[h]                                      # (N, B)
-    b_pts = grid.pts[h]                                      # (N, B, 3)
-    b_int = grid.inten[h]                                    # (N, B)
-    occupied = b_cell[..., 0] != _EMPTY
-    same = occupied & jnp.all(b_cell == cell[:, None, :], axis=-1) \
-        & (b_vox == vox[:, None])
-    has_match = jnp.any(same, axis=1) & mask
-    match_slot = jnp.argmax(same, axis=1)
-
-    # --- merges: iterated voxel centroid (old entry is itself a centroid,
-    # the new point is the frame's sole point in the voxel) ----------------
-    old_pt = jnp.take_along_axis(
-        b_pts, match_slot[:, None, None].repeat(3, -1), axis=1)[:, 0]
-    old_in = jnp.take_along_axis(b_int, match_slot[:, None], axis=1)[:, 0]
-    m_dest = jnp.where(has_match, h * bucket_cap + match_slot,
-                       table_size * bucket_cap)
-    flat_pts = grid.pts.reshape(-1, 3).at[m_dest].set(
-        0.5 * (old_pt + pts), mode="drop")
-    flat_int = grid.inten.reshape(-1).at[m_dest].set(
-        0.5 * (old_in + inten), mode="drop")
-
-    # --- appends: rank within bucket, slots by eviction priority ----------
-    app = mask & ~has_match
-    key = jnp.where(app, h, table_size)
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
-    counts = jnp.bincount(key_s, length=table_size + 1)[:table_size]
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(counts).astype(jnp.int32)])
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[
-        jnp.minimum(key_s, table_size)]
-
-    # slot priority per (point, slot): empty < out-of-window (far first)
-    # < in-window (far first); priorities computed in arrival order then
-    # permuted alongside the points
-    dist = jnp.max(jnp.abs(b_cell - center[None, None, :]), axis=-1)
-    in_win = jnp.all(jnp.abs(b_cell - center[None, None, :])
-                     <= window[None, None, :], axis=-1)
-    far = 4000.0 - jnp.minimum(dist.astype(jnp.float32), 4000.0)
-    prio = jnp.where(occupied,
-                     jnp.where(in_win, 1e6 + far, 1e3 + far),
-                     0.0)                                     # (N, B)
-    slot_order = jnp.argsort(prio, axis=1)                    # (N, B)
-    # permute per-point rows into bucket-sorted order (flat gathers)
-    flat_rows = order
-    slot_order_s = slot_order[flat_rows]
-    prio_s = prio[flat_rows]
-    h_s = h[flat_rows]
-    ok = (key_s < table_size) & (rank < bucket_cap)
-    slot = jnp.take_along_axis(slot_order_s,
-                               jnp.clip(rank, 0, bucket_cap - 1)[:, None],
-                               axis=1)[:, 0]
-    chosen_prio = jnp.take_along_axis(
-        prio_s, jnp.clip(rank, 0, bucket_cap - 1)[:, None], axis=1)[:, 0]
-    a_dest = jnp.where(ok, h_s * bucket_cap + slot, table_size * bucket_cap)
-
-    flat_pts = flat_pts.at[a_dest].set(pts[flat_rows], mode="drop")
-    flat_int = flat_int.at[a_dest].set(inten[flat_rows], mode="drop")
-    flat_cell = grid.cell.reshape(-1, 3).at[a_dest].set(
-        cell[flat_rows].astype(jnp.int16), mode="drop")
-    flat_vox = grid.vox.reshape(-1).at[a_dest].set(vox[flat_rows],
-                                                   mode="drop")
-
-    merged = jnp.sum(has_match)
-    appended = jnp.sum(ok & (key_s < table_size))
-    evicted = jnp.sum(ok & (chosen_prio >= 1e3))
-    dropped = jnp.sum(app) - appended
-    new_grid = GridMap(
-        pts=flat_pts.reshape(table_size, bucket_cap, 3),
-        inten=flat_int.reshape(table_size, bucket_cap),
-        cell=flat_cell.reshape(table_size, bucket_cap, 3),
-        vox=flat_vox.reshape(table_size, bucket_cap))
-    return new_grid, merged, appended, evicted, dropped
-
-
-def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
-             mask: jnp.ndarray, leaf: float, cell_size: float,
-             center: jnp.ndarray, window: jnp.ndarray):
-    """Batched insert(): grid leaves (B, H, Bk, ·), pts (B, N, 3),
-    center (B, 3). Same semantics per stream as insert(); every gather and
-    scatter is one flat op, per-slot picks use one-hot multiply-reduces
-    instead of take_along_axis (both measured far faster batched).
-
-    Returns (grid, merged (B,), appended (B,), evicted (B,), dropped (B,)).
-    """
-    from aloam_tpu.utils.batch import bgather
-    bsz, table_size, bucket_cap, _ = grid.pts.shape
-    n = pts.shape[1]
-    cell = _cells_of(pts, cell_size)                        # (B, N, 3)
-    vox = _vox_id(pts, leaf)
-    h = _hash(cell, table_size)
-
-    b_cell = bgather(grid.cell, h).astype(jnp.int32)        # (B, N, Bk, 3)
-    b_vox = bgather(grid.vox, h)
-    b_pts = bgather(grid.pts, h)
-    b_int = bgather(grid.inten, h)
-    occupied = b_cell[..., 0] != _EMPTY
-    same = occupied & jnp.all(b_cell == cell[:, :, None, :], axis=-1) \
-        & (b_vox == vox[:, :, None])
-    has_match = jnp.any(same, axis=-1) & mask               # (B, N)
-    match_slot = jnp.argmax(same, axis=-1)                  # (B, N)
-
-    # --- merges (iterated centroid); slot pick via one-hot reduce ---------
-    slot_iota = jnp.arange(bucket_cap, dtype=jnp.int32)[None, None, :]
-    onehot_m = (slot_iota == match_slot[..., None]).astype(jnp.float32)
-    old_pt = jnp.sum(b_pts * onehot_m[..., None], axis=2)   # (B, N, 3)
-    old_in = jnp.sum(b_int * onehot_m, axis=2)
-    flat_cap = bsz * table_size * bucket_cap
-    boff = (jnp.arange(bsz, dtype=jnp.int32)
-            * (table_size * bucket_cap))[:, None]
-    m_dest = jnp.where(has_match, boff + h * bucket_cap + match_slot,
-                       flat_cap)
-    flat_pts = grid.pts.reshape(-1, 3).at[m_dest.reshape(-1)].set(
-        (0.5 * (old_pt + pts)).reshape(-1, 3), mode="drop")
-    flat_int = grid.inten.reshape(-1).at[m_dest.reshape(-1)].set(
-        (0.5 * (old_in + inten)).reshape(-1), mode="drop")
-
-    # --- appends: rank within bucket, slots by eviction priority ----------
-    app = mask & ~has_match
-    key = jnp.where(app, h, table_size)                     # (B, N)
-    order = jnp.argsort(key, axis=1, stable=True)
-    key_s = bgather(key, order)                             # (B, N)
-    koff = (jnp.arange(bsz, dtype=jnp.int32) * (table_size + 1))[:, None]
-    counts = jnp.zeros((bsz * (table_size + 1),), jnp.int32).at[
-        (key_s + koff).reshape(-1)].add(1).reshape(bsz, table_size + 1)
-    starts = jnp.concatenate(
-        [jnp.zeros((bsz, 1), jnp.int32),
-         jnp.cumsum(counts[:, :table_size], axis=1).astype(jnp.int32)],
-        axis=1)                                             # (B, H+1)
-    rank = jnp.arange(n, dtype=jnp.int32)[None, :] \
-        - bgather(starts, jnp.minimum(key_s, table_size))
-
-    dist = jnp.max(jnp.abs(b_cell - center[:, None, None, :]), axis=-1)
-    in_win = jnp.all(jnp.abs(b_cell - center[:, None, None, :])
-                     <= window[None, None, None, :], axis=-1)
-    far = 4000.0 - jnp.minimum(dist.astype(jnp.float32), 4000.0)
-    prio = jnp.where(occupied,
-                     jnp.where(in_win, 1e6 + far, 1e3 + far),
-                     0.0)                                    # (B, N, Bk)
-    slot_order = jnp.argsort(prio, axis=-1)                  # (B, N, Bk)
-    slot_order_s = bgather(slot_order, order)
-    prio_s = bgather(prio, order)
-    h_s = bgather(h, order)
-    ok = (key_s < table_size) & (rank < bucket_cap)
-    rank_c = jnp.clip(rank, 0, bucket_cap - 1)
-    onehot_r = (slot_iota == rank_c[..., None])
-    slot = jnp.sum(jnp.where(onehot_r, slot_order_s, 0), axis=-1)
-    chosen_prio = jnp.sum(jnp.where(onehot_r, prio_s, 0.0), axis=-1)
-    a_dest = jnp.where(ok, boff + h_s * bucket_cap + slot, flat_cap)
-
-    pts_s = bgather(pts, order)
-    int_s = bgather(inten, order)
-    cell_s = bgather(cell, order)
-    vox_s = bgather(vox, order)
-    flat_pts = flat_pts.at[a_dest.reshape(-1)].set(
-        pts_s.reshape(-1, 3), mode="drop")
-    flat_int = flat_int.at[a_dest.reshape(-1)].set(
-        int_s.reshape(-1), mode="drop")
-    flat_cell = grid.cell.reshape(-1, 3).at[a_dest.reshape(-1)].set(
-        cell_s.astype(jnp.int16).reshape(-1, 3), mode="drop")
-    flat_vox = grid.vox.reshape(-1).at[a_dest.reshape(-1)].set(
-        vox_s.reshape(-1), mode="drop")
-
-    merged = jnp.sum(has_match, axis=1)
-    appended = jnp.sum(ok & (key_s < table_size), axis=1)
-    evicted = jnp.sum(ok & (chosen_prio >= 1e3), axis=1)
-    dropped = jnp.sum(app, axis=1) - appended
-    shape4 = (bsz, table_size, bucket_cap)
-    new_grid = GridMap(
-        pts=flat_pts.reshape(shape4 + (3,)),
-        inten=flat_int.reshape(shape4),
-        cell=flat_cell.reshape(shape4 + (3,)),
-        vox=flat_vox.reshape(shape4))
-    return new_grid, merged, appended, evicted, dropped
+    out, merged, appended, evicted, dropped = insert_b(
+        g1, pts[None], inten[None], mask[None], leaf, cell_size,
+        center[None], window, point_cap=32,
+        touched_cap=min(n, 8192))
+    return (jax.tree.map(lambda x: x[0], out), merged[0], appended[0],
+            evicted[0], dropped[0])
 
 
 def extract(grid: GridMap):
     """Host-side (points, intensity) of all valid entries."""
     import numpy as np
-    m = np.asarray(grid.cell[..., 0] != _EMPTY)
-    return np.asarray(grid.pts)[m], np.asarray(grid.inten)[m]
+    cell = np.asarray(grid.cell).reshape(grid.cell.shape[:-1]
+                                         + (grid.bucket_cap, 3))
+    m = cell[..., 0] != _EMPTY
+    pts = np.asarray(grid.pts).reshape(grid.pts.shape[:-1]
+                                       + (grid.bucket_cap, 3))
+    return pts[m], np.asarray(grid.inten)[m]

@@ -163,12 +163,28 @@ def test_gridmap_knn_b_matches(grids):
     ks = [f1(g2[b], jnp.asarray(q[b])) for b in range(B)]
     kb = jax.jit(lambda g, qq: gridmap.knn_b(g, qq, 5, 2.0, 1.0))(
         g2b, jnp.asarray(q))
-    _assert_rows_match(ks, kb, atol=1e-5)
+    assert int(kb[2]) == 0  # 100 queries fit in the default cell cap
+    _assert_rows_match(ks, (kb[0], kb[1]), atol=1e-5)
     # query chunking changes fusion, not candidates: d2 rounding may move a
     # near-tie, so compare distances loosely and skip neighbor coordinates
     kb2 = jax.jit(lambda g, qq: gridmap.knn_b(
         g, qq, 5, 2.0, 1.0, query_chunk=32))(g2b, jnp.asarray(q))
     _assert_rows_match([k[0] for k in ks], kb2[0], atol=2e-3)
+
+
+def test_knn_b_cell_spill_is_counted(grids):
+    """Queries past cell_cap distinct cells come back gated (+inf d2) and
+    counted — capacity losses are never silent."""
+    outs, outb, rng = grids
+    g2b = outb[0]
+    q = rng.uniform(-30, 30, size=(B, 64, 3)).astype(np.float32)
+    d2, _, spilled = jax.jit(lambda g, qq: gridmap.knn_b(
+        g, qq, 5, 2.0, 1.0, cell_cap=8))(g2b, jnp.asarray(q))
+    assert int(spilled) > 0
+    # spilled queries (and only they) come back with an all-inf d2 row:
+    # empty buckets sit at the finite _FAR sentinel, never +inf
+    d2 = np.asarray(d2)
+    assert int(np.sum(np.all(np.isinf(d2), axis=-1))) == int(spilled)
 
 
 def test_count_near_b_matches(grids):
@@ -246,7 +262,7 @@ def test_mapping_step_b_matches(populated):
     # test_gridmap_insert_b_matches; here assert the maps agree in mass.
     for b in range(B):
         live_s = int(np.sum(np.asarray(
-            singles[b][0].surf.cell[..., 0]) != gridmap._EMPTY))
+            singles[b][0].surf.cell[..., 0::3]) != gridmap._EMPTY))
         live_b = int(np.sum(np.asarray(
-            st_b.surf.cell[b][..., 0]) != gridmap._EMPTY))
+            st_b.surf.cell[b][..., 0::3]) != gridmap._EMPTY))
         assert abs(live_s - live_b) <= 8, (b, live_s, live_b)
