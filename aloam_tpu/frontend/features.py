@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from aloam_tpu.config import AloamConfig
 from aloam_tpu.types import PointCloud, RingCloud, ScanFeatures
 from aloam_tpu.frontend.voxel import voxel_downsample_rings
-from aloam_tpu.utils.masked import compact_cloud
 
 _INF = float("inf")  # plain scalar: jnp constants at import time would init backends
 
@@ -151,34 +150,32 @@ def _select_rings(pts, curv, cnt, cfg: AloamConfig):
 def extract_features(rc: RingCloud, curv: jnp.ndarray,
                      cfg: AloamConfig) -> ScanFeatures:
     """C5 + C6: run selection on every ring, voxel-downsample the less-flat
-    candidates per ring (0.2 m leaf, :401-407), and pack the five clouds."""
-    label, picked, in_region = _select_rings(rc.xyz, curv, rc.cnt, cfg)
+    candidates per ring (0.2 m leaf, :401-407), and pack the five clouds.
 
-    def cloud(mask, cap):
-        xyz, inten, m, dropped = compact_cloud(
-            rc.xyz.reshape(-1, 3), rc.intensity.reshape(-1),
-            mask.reshape(-1), cap)
-        return PointCloud(xyz=xyz, intensity=inten, mask=m), dropped
+    Delegates to the batched kernel (B=1): one feature-packing semantics to
+    test and maintain (clouds class-grouped, not arrival-interleaved — the
+    oracle comparisons are order-insensitive sets)."""
+    feats = extract_features_b(jax.tree.map(lambda x: x[None], rc),
+                               curv[None], cfg)
+    return jax.tree.map(
+        lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, feats)
 
-    sharp, d1 = cloud(label == 2, cfg.sharp_cap)
-    less_sharp, d2 = cloud(label >= 1, cfg.less_sharp_cap)
-    flat, d3 = cloud(label == -1, cfg.flat_cap)
 
-    lf_xyz, lf_int, lf_mask, d4 = voxel_downsample_rings(
-        rc.xyz, rc.intensity, (label <= 0) & in_region, cfg.less_flat_leaf)
-    lf_xyz2, lf_int2, lf_m2, d5 = compact_cloud(
-        lf_xyz.reshape(-1, 3), lf_int.reshape(-1), lf_mask.reshape(-1),
-        cfg.less_flat_cap)
-    less_flat = PointCloud(xyz=lf_xyz2, intensity=lf_int2, mask=lf_m2)
-
-    full_xyz, full_int, full_m, d6 = compact_cloud(
-        rc.xyz.reshape(-1, 3), rc.intensity.reshape(-1),
-        rc.slot_mask().reshape(-1), rc.xyz.shape[0] * rc.xyz.shape[1])
-
-    overflow = d1 + d2 + d3 + d4 + d5 + d6
-    full = PointCloud(xyz=full_xyz, intensity=full_int, mask=full_m)
-    return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
-                        less_flat=less_flat, full=full, overflow=overflow)
+def _dyn_rows(vals: jnp.ndarray, starts: jnp.ndarray, cap: int):
+    """Per-stream dynamic row window: vals (B, N, K), starts (B,) ->
+    (B, cap, K), one slice-gather (wide contiguous rows, ~free)."""
+    bsz, n, k = vals.shape
+    padded = jnp.pad(vals, ((0, 0), (0, cap), (0, 0)))
+    flat = padded.reshape(bsz * (n + cap), k)
+    roff = jnp.arange(bsz, dtype=jnp.int32) * (n + cap)
+    out = jax.lax.gather(
+        flat, (jnp.minimum(starts, n) + roff).reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(cap, k),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(bsz, cap, k)
 
 
 def extract_features_b(rc: RingCloud, curv: jnp.ndarray,
@@ -186,11 +183,9 @@ def extract_features_b(rc: RingCloud, curv: jnp.ndarray,
     """Batched extract_features: rc leaves (B, R, C, ·), curv (B, R, C).
 
     The greedy selection and the per-ring voxel downsample are row-parallel
-    in the ring axis, so the stream axis simply folds into it; only the
-    final compactions need the flat batched scatter (utils.batch.bcompact).
+    in the ring axis, so the stream axis simply folds into it; the final
+    compactions are payload-carrying sorts (see the class-sort comment).
     Returns ScanFeatures with (B, cap, ·) leaves."""
-    from aloam_tpu.utils.batch import bcompact
-
     bsz, r, c = curv.shape
     label, picked, in_region = _select_rings(
         rc.xyz.reshape(bsz * r, c, 3), curv.reshape(bsz * r, c),
@@ -198,34 +193,70 @@ def extract_features_b(rc: RingCloud, curv: jnp.ndarray,
     label = label.reshape(bsz, r * c)
     in_region = in_region.reshape(bsz, r * c)
 
-    fused = jnp.concatenate([rc.xyz, rc.intensity[..., None]],
-                            axis=-1).reshape(bsz, r * c, 4)
+    n_rows = r * c
+    xs = rc.xyz.reshape(bsz, n_rows, 3)
+    ins = rc.intensity.reshape(bsz, n_rows)
 
-    def cloud(mask, cap):
-        out, m, dropped = bcompact(fused, mask, cap)
-        return PointCloud(xyz=out[..., :3], intensity=out[..., 3],
-                          mask=m), dropped
+    def pc(out, m):
+        return PointCloud(xyz=out[..., :3], intensity=out[..., 3], mask=m)
 
-    sharp, d1 = cloud(label == 2, cfg.sharp_cap)
-    less_sharp, d2 = cloud(label >= 1, cfg.less_sharp_cap)
-    flat, d3 = cloud(label == -1, cfg.flat_cap)
+    # One class-keyed payload sort compacts sharp / less-sharp / flat at
+    # once: class 0 = sharp (label 2), 1 = less-sharp-only (label 1),
+    # 2 = flat (label -1), 3 = rest. Stable sort keeps arrival order
+    # within each class; the clouds are class-grouped rather than
+    # arrival-interleaved — every consumer (and the oracle tests) is
+    # order-insensitive, and this replaces three full-grid compaction
+    # scatters (~60 ms each at B=16) with one ~20 ms sort.
+    cls = jnp.where(label == 2, 0,
+                    jnp.where(label == 1, 1,
+                              jnp.where(label == -1, 2, 3))).astype(jnp.int32)
+    _, sx, sy, sz, si = jax.lax.sort(
+        (cls, xs[..., 0], xs[..., 1], xs[..., 2], ins),
+        dimension=1, num_keys=1, is_stable=True)
+    sorted_f = jnp.stack([sx, sy, sz, si], axis=-1)         # (B, N, 4)
+    n2 = jnp.sum((label == 2).astype(jnp.int32), axis=1)    # (B,)
+    n1 = jnp.sum((label == 1).astype(jnp.int32), axis=1)
+    nm1 = jnp.sum((label == -1).astype(jnp.int32), axis=1)
+
+    def head_cloud(count, cap):
+        m = jnp.arange(cap)[None, :] < jnp.minimum(count, cap)[:, None]
+        out = jnp.where(m[..., None], sorted_f[:, :cap], 0.0)
+        return pc(out, m), jnp.sum(jnp.maximum(count - cap, 0))
+
+    sharp, d1 = head_cloud(n2, cfg.sharp_cap)
+    less_sharp, d2 = head_cloud(n2 + n1, cfg.less_sharp_cap)
+    f_rows = _dyn_rows(sorted_f, n2 + n1, cfg.flat_cap)
+    f_m = jnp.arange(cfg.flat_cap)[None, :] \
+        < jnp.minimum(nm1, cfg.flat_cap)[:, None]
+    flat = pc(jnp.where(f_m[..., None], f_rows, 0.0), f_m)
+    d3 = jnp.sum(jnp.maximum(nm1 - cfg.flat_cap, 0))
 
     lf_xyz, lf_int, lf_mask, d4 = voxel_downsample_rings(
         rc.xyz.reshape(bsz * r, c, 3), rc.intensity.reshape(bsz * r, c),
         ((label <= 0) & in_region).reshape(bsz * r, c), cfg.less_flat_leaf)
-    lf_fused = jnp.concatenate([lf_xyz, lf_int[..., None]],
-                               axis=-1).reshape(bsz, r * c, 4)
-    lf_out, lf_m, d5 = bcompact(lf_fused, lf_mask.reshape(bsz, r * c),
-                                cfg.less_flat_cap)
-    less_flat = PointCloud(xyz=lf_out[..., :3], intensity=lf_out[..., 3],
-                           mask=lf_m)
+    # same trick for the post-voxel less-flat compaction: sort by ~mask
+    lfm = lf_mask.reshape(bsz, n_rows)
+    lf3 = lf_xyz.reshape(bsz, n_rows, 3)
+    lfi = lf_int.reshape(bsz, n_rows)
+    _, lx, ly, lz, li = jax.lax.sort(
+        ((~lfm).astype(jnp.int32), lf3[..., 0], lf3[..., 1], lf3[..., 2],
+         lfi), dimension=1, num_keys=1, is_stable=True)
+    lf_sorted = jnp.stack([lx, ly, lz, li], axis=-1)
+    n_lf = jnp.sum(lfm.astype(jnp.int32), axis=1)
+    lf_m = jnp.arange(cfg.less_flat_cap)[None, :] \
+        < jnp.minimum(n_lf, cfg.less_flat_cap)[:, None]
+    less_flat = pc(jnp.where(lf_m[..., None],
+                             lf_sorted[:, :cfg.less_flat_cap], 0.0), lf_m)
+    d5 = jnp.sum(jnp.maximum(n_lf - cfg.less_flat_cap, 0))
 
+    # the full ring cloud stays slot-ordered with gaps MASKED, not
+    # compacted: compactness was a ROS-serialization detail
+    # (scanRegistration.cpp:413-418); every consumer here is mask-driven,
+    # and the compaction scatter was ~15% of the frontend
     slot = jnp.arange(c, dtype=jnp.int32)[None, None, :]
     full_mask = (slot < rc.cnt[:, :, None]).reshape(bsz, r * c)
-    full_out, full_m, d6 = bcompact(fused, full_mask, r * c)
-    full = PointCloud(xyz=full_out[..., :3], intensity=full_out[..., 3],
-                      mask=full_m)
+    full = pc(jnp.concatenate([xs, ins[..., None]], axis=-1), full_mask)
 
-    overflow = d1 + d2 + d3 + d4 + d5 + d6
+    overflow = d1 + d2 + d3 + d4 + d5
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
                         less_flat=less_flat, full=full, overflow=overflow)

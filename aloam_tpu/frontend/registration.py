@@ -11,6 +11,7 @@ Everything is jit/vmap-friendly with static shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from aloam_tpu.config import AloamConfig
@@ -124,37 +125,48 @@ def bucket_rings_b(xyz: jnp.ndarray, intensity: jnp.ndarray,
                    ring: jnp.ndarray, valid: jnp.ndarray,
                    scan_lines: int, ring_cap: int):
     """Batched bucket_rings: xyz (B,N,3), intensity/ring/valid (B,N).
-    Batched stable argsort + one flat scatter-add histogram + one flat
-    gather (vmapped gathers measured ~100x slower — utils.batch)."""
-    from aloam_tpu.utils.batch import bgather
+
+    One payload-carrying sort by ring (the xyz/intensity columns ride the
+    sort — no argsort + permutation gathers), then each ring row of the
+    grid is ONE contiguous (ring_cap, 5)-slice of the sorted array, fetched
+    by a slice-gather at the ring's start offset (found by vmapped binary
+    search). Replaces a 2.6M-row per-slot gather (~50 ms at B=16) with
+    B·R wide slices (~3 ms)."""
     bsz, n = ring.shape
     big = jnp.int32(scan_lines)
     ring_v = jnp.where(valid, ring, big)
-    order = jnp.argsort(ring_v, axis=1, stable=True)
+    rv_s, x_s, y_s, z_s, i_s = jax.lax.sort(
+        (ring_v, xyz[..., 0], xyz[..., 1], xyz[..., 2], intensity),
+        dimension=1, num_keys=1, is_stable=True)
 
-    koff = (jnp.arange(bsz, dtype=jnp.int32) * (scan_lines + 1))[:, None]
-    cnt = jnp.zeros((bsz * (scan_lines + 1),), jnp.int32).at[
-        (ring_v + koff).reshape(-1)].add(1).reshape(
-            bsz, scan_lines + 1)[:, :scan_lines]
-    starts = jnp.concatenate(
-        [jnp.zeros((bsz, 1), jnp.int32),
-         jnp.cumsum(cnt, axis=1).astype(jnp.int32)], axis=1)
+    # per-ring start offsets in the sorted order (empty rings collapse)
+    starts = jax.vmap(lambda rv: jnp.searchsorted(
+        rv, jnp.arange(scan_lines, dtype=jnp.int32)))(rv_s)  # (B, R)
 
-    jj = jnp.arange(ring_cap, dtype=jnp.int32)[None, None, :]
-    src = jnp.clip(starts[:, :scan_lines, None] + jj, 0, n - 1)
-    occupied = (jj < cnt[:, :, None]).reshape(bsz, -1)
-    # fused[order[src]]: compose the two permutations, then gather once
-    idx2 = bgather(order, src.reshape(bsz, -1))
-    fused = jnp.concatenate([xyz, intensity[..., None]], axis=-1)
-    fused_s = bgather(fused, idx2)
-    flat_xyz = jnp.where(occupied[..., None], fused_s[..., :3], 0.0)
-    flat_int = jnp.where(occupied, fused_s[..., 3], 0.0)
+    # pad so every slice is in-range, then fetch each ring row as one
+    # contiguous (ring_cap, 5) slice
+    fused = jnp.stack([x_s, y_s, z_s, i_s,
+                       rv_s.astype(jnp.float32)], axis=-1)   # (B, N, 5)
+    fused = jnp.pad(fused, ((0, 0), (0, ring_cap), (0, 0)),
+                    constant_values=float(scan_lines))
+    flat = fused.reshape(bsz * (n + ring_cap), 5)
+    roff = (jnp.arange(bsz, dtype=jnp.int32) * (n + ring_cap))[:, None]
+    sl = jax.lax.gather(
+        flat, (starts + roff).reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(ring_cap, 5),
+        mode=jax.lax.GatherScatterMode.CLIP)                 # (B*R, C, 5)
+    sl = sl.reshape(bsz, scan_lines, ring_cap, 5)
 
-    cnt_clamped = jnp.minimum(cnt, ring_cap).astype(jnp.int32)
-    overflow = jnp.sum(cnt - cnt_clamped)
-    return RingCloud(xyz=flat_xyz.reshape(bsz, scan_lines, ring_cap, 3),
-                     intensity=flat_int.reshape(bsz, scan_lines, ring_cap),
-                     cnt=cnt_clamped), overflow
+    ring_ids = jnp.arange(scan_lines, dtype=jnp.float32)[None, :, None]
+    occupied = sl[..., 4] == ring_ids                        # (B, R, C)
+    flat_xyz = jnp.where(occupied[..., None], sl[..., :3], 0.0)
+    flat_int = jnp.where(occupied, sl[..., 3], 0.0)
+    cnt = jnp.sum(occupied, axis=-1).astype(jnp.int32)       # (B, R)
+    overflow = jnp.sum(valid) - jnp.sum(cnt)
+    return RingCloud(xyz=flat_xyz, intensity=flat_int, cnt=cnt), overflow
 
 
 def curvature(rc: RingCloud, edge_margin: int = 5):

@@ -143,14 +143,18 @@ def surf_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
 
 
 def corner_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
-                          q, t, cfg: AloamConfig):
-    """Batched corner_associations: stack (B,N,3), grid leaves (B,H,Bk,·),
-    q (B,4), t (B,3). Returns (EdgeFactors, n_spilled) — queries beyond
-    knn_b's cell capacity are gated out and counted, never silent."""
+                          q, t, cfg: AloamConfig, cache=None):
+    """Batched corner_associations: stack (B,N,3), grid leaves (B,H,·),
+    q (B,4), t (B,3). Returns (EdgeFactors, n_spilled, cache) — queries
+    beyond knn_b's cell capacity are gated out and counted, never silent.
+    Pass the returned cache back for later solver rounds: the candidate
+    blocks are pose-stable at sub-cell round deltas (gridmap.KnnCache)."""
     sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
-    d2, near, spilled = gridmap.knn_b(grid, sel, 5, cfg.knn_cell,
-                                      cfg.knn_radius, cfg.map_query_chunk,
-                                      cfg.map_cell_cap)
+    if cache is None:
+        cache = gridmap.knn_cache_b(grid, sel, cfg.knn_cell,
+                                    cfg.knn_radius, cfg.map_cell_cap)
+    d2, near, spilled = gridmap.knn_from_cache_b(cache, sel, 5,
+                                                 cfg.map_query_chunk)
     gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
     near = jnp.where(gate[..., None, None], near, 0.0)
 
@@ -164,16 +168,19 @@ def corner_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
     a = center + cfg.map_edge_half_len * direction
     b = center - cfg.map_edge_half_len * direction
     return solver.EdgeFactors(p=stack_xyz, a=a, b=b,
-                              mask=gate & is_line), spilled
+                              mask=gate & is_line), spilled, cache
 
 
 def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
-                        q, t, cfg: AloamConfig):
-    """Batched surf_associations. Returns (PlaneFactors, n_spilled)."""
+                        q, t, cfg: AloamConfig, cache=None):
+    """Batched surf_associations. Returns (PlaneFactors, n_spilled, cache);
+    see corner_associations_b for the cache-reuse contract."""
     sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
-    d2, near, spilled = gridmap.knn_b(grid, sel, 5, cfg.knn_cell,
-                                      cfg.knn_radius, cfg.map_query_chunk,
-                                      cfg.map_cell_cap)
+    if cache is None:
+        cache = gridmap.knn_cache_b(grid, sel, cfg.knn_cell,
+                                    cfg.knn_radius, cfg.map_cell_cap)
+    d2, near, spilled = gridmap.knn_from_cache_b(cache, sel, 5,
+                                                 cfg.map_query_chunk)
     gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
     near = jnp.where(gate[..., None, None], near, 0.0)
 
@@ -193,7 +200,7 @@ def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
                   + neg_oa[..., None])
     plane_ok = jnp.all(res <= cfg.map_plane_tol, axis=-1)
     return solver.PlaneFactors(p=stack_xyz, n=n_hat, d=neg_oa,
-                               mask=gate & plane_ok), spilled
+                               mask=gate & plane_ok), spilled, cache
 
 
 def mapping_step_b(state: MapState, corner_in: PointCloud,
@@ -231,13 +238,21 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     n_edge = n_plane = None
     degen = jnp.zeros(q_w.shape[0], jnp.int32)
     spills = jnp.int32(0)
+    c_cache = s_cache = None
     for _ in range(cfg.map_outer_rounds):
-        edges, sp1 = corner_associations_b(
+        # round 2+ reuses round 1's candidate blocks: the pose delta
+        # between rounds is sub-cell, so the 2x2x2 gate neighborhoods are
+        # identical for ~all queries (the reference re-runs its kd-tree
+        # search each round, laserMapping.cpp:562-727; the only deviation
+        # here is a query whose shifted base cell crossed a 2 m boundary
+        # mid-solve, which at worst drops that query's factor for the
+        # round)
+        edges, sp1, c_cache = corner_associations_b(
             corner_stack, c_ds_mask & solve_ok[:, None], state.corner,
-            q_w, t_w, cfg)
-        planes, sp2 = surf_associations_b(
+            q_w, t_w, cfg, c_cache)
+        planes, sp2, s_cache = surf_associations_b(
             surf_stack, s_ds_mask & solve_ok[:, None], state.surf,
-            q_w, t_w, cfg)
+            q_w, t_w, cfg, s_cache)
         spills = spills + sp1 + sp2
         q_w, t_w, stats = lm_b(edges, planes, q_w, t_w)
         degen = degen + stats.clamped + stats.nonfinite

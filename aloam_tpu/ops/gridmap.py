@@ -182,24 +182,24 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     return -neg_top, nbrs
 
 
-def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
-          radius: float = 1.0, query_chunk: int = 0, cell_cap: int = 4096):
-    """Batched knn() via shared-cell candidate dedup.
+class KnnCache(NamedTuple):
+    """Per-cell candidate blocks + per-query cell slots (see knn_cache_b).
 
-    grid leaves carry a leading stream axis (B, H, ·); query is (B, Q, 3).
-    Returns (d2 (B,Q,k), nbrs (B,Q,k,3), n_spilled).
+    Reusable across nearby query poses: the blocks cover each query's
+    full 2x2x2 gate neighborhood as of the CACHED positions; re-querying
+    after a sub-cell pose refinement (the mapping round-2 case,
+    laserMapping.cpp:562-727 re-searches ~identically) sees the same
+    candidate set except for the few queries whose shifted base cell
+    crossed a 2 m boundary."""
+    cand_flat: jnp.ndarray   # (B, C, 8*3*Bk) dup-poisoned candidate xyz
+    cid: jnp.ndarray         # (B, Q) per-query cell slot (== C -> spilled)
+    n_spilled: jnp.ndarray   # scalar
+    cell_cap: int
 
-    All queries whose shifted base cell floor((q-radius)/cell) coincides
-    see the SAME 2×2×2 bucket block, so the 8-bucket rows are gathered once
-    per *occupied cell* (≈Q/8 of them for SLAM stacks), not once per query
-    — the per-query form measured 3.1M gather rows at B=16; this form
-    gathers 8·cell_cap rows plus one *wide* row per query. Selection is k
-    passes of min/argmin + masked-sum coordinate extraction (measured
-    faster than lax.top_k, and it skips the final 12-byte-row gather).
-    Queries beyond `cell_cap` distinct cells are spilled: their d2 comes
-    back +inf (factors gated out) and they are counted in n_spilled —
-    never silent.
-    """
+
+def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
+                radius: float = 1.0, cell_cap: int = 4096) -> KnnCache:
+    """Build the shared-cell candidate structure for knn_from_cache_b."""
     from aloam_tpu.utils.batch import bgather
     assert cell_size >= 2 * radius, (cell_size, radius)
     bsz, q_n = query.shape[:2]
@@ -207,12 +207,14 @@ def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     bucket_cap = grid.bucket_cap
     n_cand = 8 * bucket_cap
 
-    # --- group queries by base cell (packed-key sort) ---------------------
+    # --- group queries by base cell (one payload-carrying sort) -----------
     qcell = _cells_of(query - radius, cell_size)            # (B, Q, 3)
     rel = jnp.clip(qcell - jnp.min(qcell, axis=1, keepdims=True), 0, 1023)
     key = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
-    order = jnp.argsort(key, axis=1)                        # (B, Q)
-    key_s = bgather(key, order)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (bsz, q_n), 1)
+    key_s, cx_s, cy_s, cz_s, order = jax.lax.sort(
+        (key, qcell[..., 0], qcell[..., 1], qcell[..., 2], iota_q),
+        dimension=1, num_keys=1, is_stable=True)
     seg = jnp.concatenate(
         [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
     cid_s = jnp.cumsum(seg.astype(jnp.int32), axis=1) - 1   # (B, Q)
@@ -221,7 +223,7 @@ def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
 
     # cell coords per slot (one flat scatter; all writes per slot agree)
     coff = (jnp.arange(bsz, dtype=jnp.int32) * (cell_cap + 1))[:, None]
-    qcell_s = bgather(qcell, order)
+    qcell_s = jnp.stack([cx_s, cy_s, cz_s], axis=-1)
     slot_cell = jnp.zeros((bsz * (cell_cap + 1), 3), jnp.int32).at[
         (cid_sc + coff).reshape(-1)].set(qcell_s.reshape(-1, 3)).reshape(
             bsz, cell_cap + 1, 3)[:, :cell_cap]
@@ -242,6 +244,18 @@ def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     cid = jnp.zeros((bsz * q_n,), jnp.int32).at[
         (order + qoff).reshape(-1)].set(cid_sc.reshape(-1)).reshape(
             bsz, q_n)
+    return KnnCache(cand_flat=cand_flat, cid=cid, n_spilled=n_spilled,
+                    cell_cap=cell_cap)
+
+
+def knn_from_cache_b(cache: KnnCache, query: jnp.ndarray, k: int,
+                     query_chunk: int = 0):
+    """Gated k-NN of (possibly pose-refined) queries against a KnnCache.
+    Returns (d2 (B,Q,k), nbrs (B,Q,k,3), n_spilled)."""
+    from aloam_tpu.utils.batch import bgather
+    bsz, q_n = query.shape[:2]
+    cand_flat, cid, cell_cap = cache.cand_flat, cache.cid, cache.cell_cap
+    n_cand = cand_flat.shape[-1] // 3
 
     # --- chunked dense distance + k-pass selection ------------------------
     def chunk_knn(q_chunk, cid_chunk):
@@ -274,7 +288,29 @@ def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
         nbrs = jnp.moveaxis(nbrs, 0, 1).reshape(bsz, -1, k, 3)[:, :q_n]
     else:
         d2, nbrs = chunk_knn(query, cid)
-    return d2, nbrs, n_spilled
+    return d2, nbrs, cache.n_spilled
+
+
+def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
+          radius: float = 1.0, query_chunk: int = 0, cell_cap: int = 4096):
+    """Batched knn() via shared-cell candidate dedup.
+
+    grid leaves carry a leading stream axis (B, H, ·); query is (B, Q, 3).
+    Returns (d2 (B,Q,k), nbrs (B,Q,k,3), n_spilled).
+
+    All queries whose shifted base cell floor((q-radius)/cell) coincides
+    see the SAME 2x2x2 bucket block, so the 8-bucket rows are gathered once
+    per *occupied cell* (~Q/8 of them for SLAM stacks), not once per query
+    — the per-query form measured 3.1M gather rows at B=16; this form
+    gathers 8*cell_cap rows plus one *wide* row per query. Selection is k
+    passes of min/argmin + masked-sum coordinate extraction (measured
+    faster than lax.top_k, and it skips the final 12-byte-row gather).
+    Queries beyond `cell_cap` distinct cells are spilled: their d2 comes
+    back +inf (factors gated out) and they are counted in n_spilled —
+    never silent.
+    """
+    cache = knn_cache_b(grid, query, cell_size, radius, cell_cap)
+    return knn_from_cache_b(cache, query, k, query_chunk)
 
 
 def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
@@ -312,12 +348,12 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     h = _hash(cell, table_size)
     key = jnp.where(mask, h, table_size)
 
-    order = jnp.argsort(key, axis=1)                        # stable
-    key_s = bgather(key, order)
+    # one payload-carrying sort (no argsort + permutation gathers)
+    key_s, px_s, py_s, pz_s, pi_s, vox_s = jax.lax.sort(
+        (key, pts[..., 0], pts[..., 1], pts[..., 2], inten, vox),
+        dimension=1, num_keys=1, is_stable=True)
     valid_s = key_s < table_size
-    pay = jnp.concatenate([pts, inten[..., None]], axis=-1)  # (B, N, 4)
-    pay_s = bgather(pay, order)
-    vox_s = bgather(vox, order)
+    pay_s = jnp.stack([px_s, py_s, pz_s, pi_s], axis=-1)    # (B, N, 4)
 
     seg = valid_s & jnp.concatenate(
         [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)

@@ -32,6 +32,31 @@ def bgather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(idx.shape + x.shape[2:])
 
 
+def bcompact2(values: jnp.ndarray, mask_a: jnp.ndarray, cap_a: int,
+              mask_b: jnp.ndarray, cap_b: int):
+    """Two DISJOINT-mask compactions of the same rows as ONE flat scatter
+    (each eliminated scatter pass costs ~N x 20 ns in row units). Returns
+    ((out_a, mask_a', dropped_a), (out_b, mask_b', dropped_b))."""
+    b, n, k = values.shape
+    pos_a = jnp.cumsum(mask_a.astype(jnp.int32), axis=1) - 1
+    pos_b = jnp.cumsum(mask_b.astype(jnp.int32), axis=1) - 1
+    cap = cap_a + cap_b
+    off = jnp.arange(b, dtype=jnp.int32)[:, None] * cap
+    dest = jnp.where(mask_a & (pos_a < cap_a), pos_a + off,
+                     jnp.where(mask_b & (pos_b < cap_b),
+                               cap_a + pos_b + off, b * cap))
+    out = jnp.zeros((b * cap, k), values.dtype).at[dest.reshape(-1)].set(
+        values.reshape(-1, k), mode="drop").reshape(b, cap, k)
+    tot_a = pos_a[:, -1] + 1
+    tot_b = pos_b[:, -1] + 1
+    kept_a = jnp.minimum(tot_a, cap_a)
+    kept_b = jnp.minimum(tot_b, cap_b)
+    m_a = jnp.arange(cap_a)[None, :] < kept_a[:, None]
+    m_b = jnp.arange(cap_b)[None, :] < kept_b[:, None]
+    return ((out[:, :cap_a], m_a, jnp.sum(tot_a - kept_a)),
+            (out[:, cap_a:], m_b, jnp.sum(tot_b - kept_b)))
+
+
 def bcompact(values: jnp.ndarray, mask: jnp.ndarray, cap: int):
     """Batched utils.masked.compact as one flat scatter.
 
