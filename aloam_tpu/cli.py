@@ -56,7 +56,7 @@ def main(argv=None):
 
     from aloam_tpu.config import PRESETS
     from aloam_tpu import pipeline
-    from aloam_tpu.eval import ate_rmse, rpe
+    from aloam_tpu.eval import ate_rmse, kitti_drift, rpe, rpe_rot
     from aloam_tpu.io import synthetic as syn
     from aloam_tpu.utils import checkpoint as ckpt
     from aloam_tpu.utils.tictoc import TicToc
@@ -66,7 +66,7 @@ def main(argv=None):
         cfg = cfg.replace(mapping_skip_frame=args.mapping_skip_frame)
 
     # ---- data source (C1) ------------------------------------------------
-    gt_t = None
+    gt_t = gt_q = None
     if args.synthetic or not args.kitti:
         scans, traj = syn.make_sequence(
             args.frames, scan_lines=cfg.scan_lines, seed=7, speed=args.speed)
@@ -75,10 +75,15 @@ def main(argv=None):
         # --skip-first drops leading scans: drop the matching GT rows so
         # estimated frame i compares against gt frame i+skip, re-anchored
         gt_t = traj.trans[args.skip_first:] - traj.trans[args.skip_first]
+        gt_q = traj.quats[args.skip_first:]
     else:
         from aloam_tpu.io import kitti, native_loader
-        times_path, _, velo_dir = kitti.sequence_paths(args.kitti,
-                                                       args.sequence)
+        times_path, gt_path, velo_dir = kitti.sequence_paths(args.kitti,
+                                                             args.sequence)
+        if gt_path and os.path.exists(gt_path):
+            gt_q, gt_t = kitti.load_gt_poses(gt_path)
+            gt_q = gt_q[args.skip_first:]
+            gt_t = gt_t[args.skip_first:] - gt_t[args.skip_first]
         if native_loader.available():
             times = np.atleast_1d(np.loadtxt(times_path))
             paths = [os.path.join(velo_dir, f"{i:06d}.bin")
@@ -156,9 +161,30 @@ def main(argv=None):
             f.write(f"{ts} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}\n")
 
     if gt_t is not None and n > 1:
-        ate = ate_rmse(tm[:, :3], gt_t[:n], align=False)
-        rpe_t, _ = rpe(tm[:, :3], gt_t[:n])
-        print(f"ATE RMSE {ate:.4f} m   RPE {rpe_t:.4f} m")
+        summary = {
+            "frames": n,
+            "median_wall_ms": steady,
+            "ate_rmse_m": ate_rmse(tm[:, :3], gt_t[:n], align=False),
+            "rpe_trans_m": rpe(tm[:, :3], gt_t[:n])[0],
+        }
+        if gt_q is not None and len(gt_q) >= n:
+            summary["rpe_rot_deg"] = rpe_rot(tm[:, 3:7], gt_q[:n])[0]
+        drift, n_seg = kitti_drift(tm[:, :3], gt_t[:n])
+        if n_seg:
+            # KITTI convention: mean translational drift over 100-800 m
+            # segments (needs a few hundred meters of trajectory)
+            summary["kitti_drift_pct"] = drift
+            summary["kitti_drift_segments"] = n_seg
+        with open(os.path.join(args.out, "eval.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        msg = (f"ATE RMSE {summary['ate_rmse_m']:.4f} m   "
+               f"RPE {summary['rpe_trans_m']:.4f} m")
+        if "rpe_rot_deg" in summary:
+            msg += f"   RPEr {summary['rpe_rot_deg']:.3f} deg"
+        if "kitti_drift_pct" in summary:
+            msg += (f"   drift {summary['kitti_drift_pct']:.3f}% "
+                    f"({summary['kitti_drift_segments']} segs)")
+        print(msg)
 
     if args.plots:
         from aloam_tpu.eval import viz

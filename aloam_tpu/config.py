@@ -81,6 +81,9 @@ class AloamConfig:
                                         # set for batched streams, see knn doc)
     map_cell_cap: int = 4096            # knn_b distinct query cells per
                                         # stream; spills are gated + counted
+    map_insert_point_cap: int = 16      # insert_b dense-list points/bucket
+    map_insert_cell_cap: int = 4096     # insert_b touched buckets/stream
+                                        # (spills -> dropped, counted)
     # persistent spatial-hash map (ops/gridmap.py): the 2x2x2-cell query
     # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq); bucket caps
     # must hold a cell's worst-case voxel count (cell/leaf + 1)^2-ish for

@@ -277,10 +277,10 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
                                  cfg.plane_resolution, cfg.surf_stack_cap)
     corner, _, _, ev1, dr1 = gridmap.insert_b(
         state.corner, c_pts, c_int, c_m, cfg.line_resolution, cfg.knn_cell,
-        center, window)
+        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
     surf, _, _, ev2, dr2 = gridmap.insert_b(
         state.surf, s_pts, s_int, s_m, cfg.plane_resolution, cfg.knn_cell,
-        center, window)
+        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
 
     new_state = MapState(
         corner=corner, surf=surf,
@@ -388,10 +388,10 @@ def mapping_step(state: MapState, corner_in: PointCloud,
                                  cfg.plane_resolution, cfg.surf_stack_cap)
     corner, _, _, ev1, dr1 = gridmap.insert(
         state.corner, c_pts, c_int, c_m, cfg.line_resolution, cfg.knn_cell,
-        center, window)
+        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
     surf, _, _, ev2, dr2 = gridmap.insert(
         state.surf, s_pts, s_int, s_m, cfg.plane_resolution, cfg.knn_cell,
-        center, window)
+        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
 
     new_state = MapState(
         corner=corner, surf=surf,

@@ -29,14 +29,17 @@ Bucket overflow, evictions and capacity spills are surfaced as metrics.
 
 **Memory layout (measured on this TPU, round 2).** Coordinate tables are
 stored with the bucket and coordinate axes MERGED into one minor dimension
-— ``pts: (H, 3*Bk)`` f32, ``cell: (H, 3*Bk)`` i16 (row-major interleaved
-[x0 y0 z0 x1 …], so ``reshape(..., Bk, 3)`` is a free view). A table
-shaped ``(H, Bk, 3)`` makes every bucket-row gather ~7x slower (150 vs
-21 ns/row: the gather decomposes into minor-dim runs of 3, and copies of
-such arrays lane-pad 3 -> 128, a 42x memory blowup that OOM'd at B=16).
-The same rule drives the kernels below: gathers/scatters operate on
-wide-minor-dim operands; (N, 3)-row scatters measured 90 ns/update vs
-~10 ns scalar updates into flat or (H, Bk)-form operands.
+— ``pts: (H, 3*Bk)`` f32, ``cell: (H, 3*Bk)`` i16, packed bucket-PLANAR
+[x0..x47 | y0..y47 | z0..z47] so ``reshape(..., 3, Bk)`` is a free view
+and ALL compute runs on per-coordinate planes. A table shaped
+``(H, Bk, 3)`` makes every bucket-row gather ~7x slower (150 vs
+21 ns/row: the gather decomposes into minor-dim runs of 3), and ANY
+materialized array with minor dim 3 lane-pads 3 -> 128 — a 42x blowup
+that OOM'd at B=16 and silently taxes einsum outputs; planar packing
+keeps minor dims wide everywhere, including inside Pallas kernels
+(whose VMEM tiling has the same (8, 128) rule). (N, 3)-row scatters
+measured 90 ns/update vs ~10 ns scalar updates into flat or (H, Bk)-form
+operands.
 """
 
 from __future__ import annotations
@@ -52,9 +55,9 @@ _EMPTY = 32767  # i16 sentinel cell coordinate
 
 
 class GridMap(NamedTuple):
-    pts: jnp.ndarray    # (H, 3*Bk) f32 — interleaved xyz voxel centroids
+    pts: jnp.ndarray    # (H, 3*Bk) f32 — bucket-planar xyz voxel centroids
     inten: jnp.ndarray  # (H, Bk) averaged intensity
-    cell: jnp.ndarray   # (H, 3*Bk) i16 — interleaved absolute cell coords
+    cell: jnp.ndarray   # (H, 3*Bk) i16 — bucket-planar absolute cell coords
     vox: jnp.ndarray    # (H, Bk) i32 hashed voxel id (merge matching)
 
     @property
@@ -77,13 +80,14 @@ def empty(table_size: int, bucket_cap: int) -> GridMap:
         vox=jnp.zeros((table_size, bucket_cap), jnp.int32))
 
 
-def _view3(a: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3*Bk) interleaved -> (..., Bk, 3) view (row-major identity)."""
-    return a.reshape(a.shape[:-1] + (a.shape[-1] // 3, 3))
+def _viewp(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3*Bk) bucket-planar -> (..., 3, Bk) view (row-major
+    identity): [..., 0, :] = x-plane, etc."""
+    return a.reshape(a.shape[:-1] + (3, a.shape[-1] // 3))
 
 
 def n_valid(grid: GridMap) -> jnp.ndarray:
-    return jnp.sum(_view3(grid.cell)[..., 0] != _EMPTY)
+    return jnp.sum(_viewp(grid.cell)[..., 0, :] != _EMPTY)
 
 
 def count_near(grid: GridMap, center: jnp.ndarray,
@@ -92,20 +96,20 @@ def count_near(grid: GridMap, center: jnp.ndarray,
     the reference's local 5×5×3-cube map-point count that gates the mapping
     solve (laserMapping.cpp:531-554). One masked pass over the i16 cell
     table (~a few MB), no gathers."""
-    c = _view3(grid.cell).astype(jnp.int32)
-    live = c[..., 0] != _EMPTY
-    near = jnp.all(jnp.abs(c - center[None, None, :])
-                   <= half_cells[None, None, :], axis=-1)
+    c = _viewp(grid.cell).astype(jnp.int32)       # (H, 3, Bk)
+    live = c[:, 0, :] != _EMPTY
+    near = jnp.all(jnp.abs(c - center[None, :, None])
+                   <= half_cells[None, :, None], axis=-2)
     return jnp.sum(live & near)
 
 
 def count_near_b(grid: GridMap, center: jnp.ndarray,
                  half_cells: jnp.ndarray) -> jnp.ndarray:
     """Batched count_near: grid leaves (B, H, ·), center (B, 3) -> (B,)."""
-    c = _view3(grid.cell).astype(jnp.int32)
-    live = c[..., 0] != _EMPTY
-    near = jnp.all(jnp.abs(c - center[:, None, None, :])
-                   <= half_cells[None, None, None, :], axis=-1)
+    c = _viewp(grid.cell).astype(jnp.int32)       # (B, H, 3, Bk)
+    live = c[:, :, 0, :] != _EMPTY
+    near = jnp.all(jnp.abs(c - center[:, None, :, None])
+                   <= half_cells[None, None, :, None], axis=-2)
     return jnp.sum(live & near, axis=(1, 2))
 
 
@@ -157,7 +161,7 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     qcells = _cells_of(query - radius, cell_size)
     ncells = qcells[:, None, :] + _offsets8()[None]          # (Q, 8, 3)
     hh = _hash(ncells, table_size)
-    cand_pts = _view3(grid.pts[hh])                          # (Q, 8, Bk, 3)
+    cand = _viewp(grid.pts[hh])                              # (Q, 8, 3, Bk)
 
     # No cell verification is needed for *gated* exactness: every point
     # within `radius` of the query lives in the 8 block cells, so
@@ -170,15 +174,18 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     tri = jnp.tril(jnp.ones((8, 8), bool), -1)[None]
     dup = jnp.any(same & tri, axis=2)                        # (Q, 8)
 
-    diff = cand_pts - query[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(dup[:, :, None], _INF, d2)
+    q_n = query.shape[0]
+    n_cand = 8 * bucket_cap
+    cx = cand[:, :, 0, :].reshape(q_n, n_cand)
+    cy = cand[:, :, 1, :].reshape(q_n, n_cand)
+    cz = cand[:, :, 2, :].reshape(q_n, n_cand)
+    d2 = ((cx - query[:, 0:1]) ** 2 + (cy - query[:, 1:2]) ** 2
+          + (cz - query[:, 2:3]) ** 2)
+    d2 = jnp.where(jnp.repeat(dup, bucket_cap, axis=1), _INF, d2)
 
-    q = query.shape[0]
-    d2 = d2.reshape(q, 8 * bucket_cap)
     neg_top, pos = jax.lax.top_k(-d2, k)
-    nbrs = jnp.take_along_axis(cand_pts.reshape(q, 8 * bucket_cap, 3),
-                               pos[..., None], axis=1)
+    nbrs = jnp.stack([jnp.take_along_axis(c, pos, axis=1)
+                      for c in (cx, cy, cz)], axis=-1)
     return -neg_top, nbrs
 
 
@@ -237,7 +244,12 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     dup = jnp.any(same & tri, axis=-1)                      # (B, C, 8)
     # poison duplicate buckets via the _FAR sentinel (fails every gate)
     cand = jnp.where(dup[..., None], _FAR, cand)
-    cand_flat = cand.reshape(bsz, cell_cap, n_cand * 3)
+    # flatten to per-cell candidate rows, coordinate-PLANAR over the full
+    # 8-bucket block: [x(8Bk) | y(8Bk) | z(8Bk)] — the layout the dense
+    # distance pass and the Pallas select kernel consume
+    cand = _viewp(cand)                                     # (B,C,8,3,Bk)
+    cand = jnp.moveaxis(cand, 3, 2)                         # (B,C,3,8,Bk)
+    cand_flat = cand.reshape(bsz, cell_cap, 3 * n_cand)
 
     # per-query cell slot, back in input order (flat scatter)
     qoff = (jnp.arange(bsz, dtype=jnp.int32) * q_n)[:, None]
@@ -258,13 +270,28 @@ def knn_from_cache_b(cache: KnnCache, query: jnp.ndarray, k: int,
     n_cand = cand_flat.shape[-1] // 3
 
     # --- chunked dense distance + k-pass selection ------------------------
+    use_pallas = jax.default_backend() == "tpu"
+
     def chunk_knn(q_chunk, cid_chunk):
         # one wide gather per query: its cell's full candidate block
         crow = bgather(cand_flat, jnp.minimum(cid_chunk, cell_cap - 1))
-        crow = _view3(crow).reshape(q_chunk.shape[:2] + (n_cand, 3))
-        diff = crow - q_chunk[:, :, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)                  # (B, qc, n)
-        d2 = jnp.where((cid_chunk >= cell_cap)[..., None], _INF, d2)
+        bs, qc = q_chunk.shape[:2]
+        poison = (cid_chunk >= cell_cap)
+        if use_pallas:
+            # fused VMEM-resident distance + k-pass select: candidate
+            # rows are read from HBM exactly once (ops/pallas_knn.py)
+            from aloam_tpu.ops.pallas_knn import knn_select
+            q4 = jnp.concatenate(
+                [q_chunk, poison[..., None].astype(jnp.float32)], axis=-1)
+            d2f, nbf = knn_select(crow.reshape(bs * qc, 3 * n_cand),
+                                  q4.reshape(bs * qc, 4), k)
+            return (d2f.reshape(bs, qc, k), nbf.reshape(bs, qc, k, 3))
+        crow = crow.reshape(q_chunk.shape[:2] + (3, n_cand))
+        cx, cy, cz = crow[..., 0, :], crow[..., 1, :], crow[..., 2, :]
+        d2 = ((cx - q_chunk[..., 0:1]) ** 2
+              + (cy - q_chunk[..., 1:2]) ** 2
+              + (cz - q_chunk[..., 2:3]) ** 2)              # (B, qc, n)
+        d2 = jnp.where(poison[..., None], _INF, d2)
         iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
         ds, nb = [], []
         cur = d2
@@ -272,7 +299,9 @@ def knn_from_cache_b(cache: KnnCache, query: jnp.ndarray, k: int,
             am = jnp.argmin(cur, axis=-1)                   # (B, qc)
             ds.append(jnp.min(cur, axis=-1))
             sel = iota == am[..., None]
-            nb.append(jnp.sum(jnp.where(sel[..., None], crow, 0.0), axis=2))
+            nb.append(jnp.stack(
+                [jnp.sum(jnp.where(sel, c, 0.0), axis=2)
+                 for c in (cx, cy, cz)], axis=-1))
             cur = jnp.where(sel, _INF, cur)
         return jnp.stack(ds, -1), jnp.stack(nb, -2)
 
@@ -316,7 +345,7 @@ def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
 def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
              mask: jnp.ndarray, leaf: float, cell_size: float,
              center: jnp.ndarray, window: jnp.ndarray,
-             point_cap: int = 32, touched_cap: int = 6144):
+             point_cap: int = 16, touched_cap: int = 4096):
     """Batched insert of one frame's voxel-downsampled stack per stream.
 
     grid leaves (B, H, ·); pts (B, N, 3); center (B, 3) pose cell coords;
@@ -393,22 +422,28 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
             bsz, cap_c + 1)[:, :cap_c]
     used = cnt > 0                                          # (B, C)
 
-    # --- gather touched-bucket tiles --------------------------------------
-    s_pts = _view3(bgather(grid.pts, slot_h))               # (B, C, Bk, 3)
+    # --- gather touched-bucket tiles (coordinate planes) ------------------
+    s_p = _viewp(bgather(grid.pts, slot_h))                 # (B, C, 3, Bk)
+    s_px, s_py, s_pz = s_p[..., 0, :], s_p[..., 1, :], s_p[..., 2, :]
     s_int = bgather(grid.inten, slot_h)                     # (B, C, Bk)
-    s_cell = _view3(bgather(grid.cell, slot_h)).astype(jnp.int32)
+    s_c = _viewp(bgather(grid.cell, slot_h)).astype(jnp.int32)
+    s_cx, s_cy, s_cz = s_c[..., 0, :], s_c[..., 1, :], s_c[..., 2, :]
     s_vox = bgather(grid.vox, slot_h)                       # (B, C, Bk)
-    occ = s_cell[..., 0] != _EMPTY
+    occ = s_cx != _EMPTY
 
-    # --- dense merge ------------------------------------------------------
+    # --- dense merge (all algebra per coordinate plane: a materialized
+    # minor-dim-3 array lane-pads 42x on this TPU) -------------------------
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap_c, cap_p), 2)
     pvalid = iota_p < jnp.minimum(cnt, cap_p)[..., None]    # (B, C, P)
-    ppt = jnp.stack([ppx, ppy, ppz], axis=-1)               # (B, C, P, 3)
-    pcell = _cells_of(ppt, cell_size)                       # (B, C, P, 3)
+    inv_cell = 1.0 / cell_size
+    pcx = jnp.floor(ppx * inv_cell).astype(jnp.int32)       # (B, C, P)
+    pcy = jnp.floor(ppy * inv_cell).astype(jnp.int32)
+    pcz = jnp.floor(ppz * inv_cell).astype(jnp.int32)
     match = (pvalid[..., None] & occ[:, :, None, :]
              & (pvox[..., None] == s_vox[:, :, None, :])
-             & jnp.all(pcell[..., None, :] == s_cell[:, :, None, :, :],
-                       axis=-1))                            # (B, C, P, Bk)
+             & (pcx[..., None] == s_cx[:, :, None, :])
+             & (pcy[..., None] == s_cy[:, :, None, :])
+             & (pcz[..., None] == s_cz[:, :, None, :]))     # (B, C, P, Bk)
     has_match = jnp.any(match, axis=-1)                     # (B, C, P)
     m_any = jnp.any(match, axis=2)                          # (B, C, Bk)
     # voxel-downsampled stacks give ≤1 match per slot, but raw inputs can
@@ -419,17 +454,23 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     best = jnp.max(jnp.where(match, iota_p[..., None], -1), axis=2)
     m_sel = match & (iota_p[..., None] == best[:, :, None, :])
     mf = m_sel.astype(jnp.float32)
-    m_pt = jnp.einsum("bcpk,bcpf->bckf", mf, ppt)
-    m_in = jnp.einsum("bcpk,bcp->bck", mf, ppi)
-    s_pts = jnp.where(m_any[..., None], 0.5 * (s_pts + m_pt), s_pts)
-    s_int = jnp.where(m_any, 0.5 * (s_int + m_in), s_int)
+
+    def red_f(vals_p):                                      # (B,C,P)->(B,C,Bk)
+        return jnp.einsum("bcpk,bcp->bck", mf, vals_p)
+
+    s_px = jnp.where(m_any, 0.5 * (s_px + red_f(ppx)), s_px)
+    s_py = jnp.where(m_any, 0.5 * (s_py + red_f(ppy)), s_py)
+    s_pz = jnp.where(m_any, 0.5 * (s_pz + red_f(ppz)), s_pz)
+    s_int = jnp.where(m_any, 0.5 * (s_int + red_f(ppi)), s_int)
 
     # --- dense appends (slots by eviction priority) -----------------------
     app = pvalid & ~has_match                               # (B, C, P)
     arank = jnp.cumsum(app.astype(jnp.int32), axis=2) - 1
-    dist = jnp.max(jnp.abs(s_cell - center[:, None, None, :]), axis=-1)
-    in_win = jnp.all(jnp.abs(s_cell - center[:, None, None, :])
-                     <= window[None, None, None, :], axis=-1)
+    adx = jnp.abs(s_cx - center[:, None, 0, None])
+    ady = jnp.abs(s_cy - center[:, None, 1, None])
+    adz = jnp.abs(s_cz - center[:, None, 2, None])
+    dist = jnp.maximum(adx, jnp.maximum(ady, adz))
+    in_win = ((adx <= window[0]) & (ady <= window[1]) & (adz <= window[2]))
     far = 4000.0 - jnp.minimum(dist.astype(jnp.float32), 4000.0)
     prio = jnp.where(occ, jnp.where(in_win, 1e6 + far, 1e3 + far), 0.0)
     slot_order = jnp.argsort(prio, axis=-1)                 # (B, C, Bk)
@@ -448,29 +489,35 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     oh_slot = can_app[..., None] & (slot_p[..., None] == iota_k)
     ohsf = oh_slot.astype(jnp.float32)
     wr_any = jnp.any(oh_slot, axis=2)                       # (B, C, Bk)
-    wr_pt = jnp.einsum("bcpk,bcpf->bckf", ohsf, ppt)
-    wr_in = jnp.einsum("bcpk,bcp->bck", ohsf, ppi)
-    wr_cell = jnp.einsum("bcpk,bcpf->bckf", ohsf,
-                         pcell.astype(jnp.float32)).astype(jnp.int32)
-    # vox ids are arbitrary 32-bit hashes — NOT f32-exact; reduce as ints
-    wr_vox = jnp.sum(jnp.where(oh_slot, pvox[..., None], 0), axis=2)
 
-    s_pts = jnp.where(wr_any[..., None], wr_pt, s_pts)
-    s_int = jnp.where(wr_any, wr_in, s_int)
-    s_cell = jnp.where(wr_any[..., None], wr_cell, s_cell)
-    s_vox = jnp.where(wr_any, wr_vox, s_vox)
+    def wr_f(vals_p):
+        return jnp.einsum("bcpk,bcp->bck", ohsf, vals_p)
+
+    def wr_i(vals_p):
+        # int payloads (cells, vox hashes) are NOT f32-exact: int reduce
+        return jnp.sum(jnp.where(oh_slot, vals_p[..., None], 0), axis=2)
+
+    s_px = jnp.where(wr_any, wr_f(ppx), s_px)
+    s_py = jnp.where(wr_any, wr_f(ppy), s_py)
+    s_pz = jnp.where(wr_any, wr_f(ppz), s_pz)
+    s_int = jnp.where(wr_any, wr_f(ppi), s_int)
+    s_cx = jnp.where(wr_any, wr_i(pcx), s_cx)
+    s_cy = jnp.where(wr_any, wr_i(pcy), s_cy)
+    s_cz = jnp.where(wr_any, wr_i(pcz), s_cz)
+    s_vox = jnp.where(wr_any, wr_i(pvox), s_vox)
 
     # --- scatter finished tiles back (wide rows, used buckets only) -------
     hoff = (jnp.arange(bsz, dtype=jnp.int32) * table_size)[:, None]
     dest = jnp.where(used, slot_h + hoff, bsz * table_size)  # (B, C)
     flat = dest.reshape(-1)
+    pts_tile = jnp.stack([s_px, s_py, s_pz], axis=2)        # (B, C, 3, Bk)
+    cell_tile = jnp.stack([s_cx, s_cy, s_cz], axis=2).astype(jnp.int16)
     new_pts = grid.pts.reshape(-1, 3 * bucket_cap).at[flat].set(
-        s_pts.reshape(bsz * cap_c, 3 * bucket_cap), mode="drop")
+        pts_tile.reshape(bsz * cap_c, 3 * bucket_cap), mode="drop")
     new_int = grid.inten.reshape(-1, bucket_cap).at[flat].set(
         s_int.reshape(bsz * cap_c, bucket_cap), mode="drop")
     new_cell = grid.cell.reshape(-1, 3 * bucket_cap).at[flat].set(
-        s_cell.astype(jnp.int16).reshape(bsz * cap_c, 3 * bucket_cap),
-        mode="drop")
+        cell_tile.reshape(bsz * cap_c, 3 * bucket_cap), mode="drop")
     new_vox = grid.vox.reshape(-1, bucket_cap).at[flat].set(
         s_vox.reshape(bsz * cap_c, bucket_cap), mode="drop")
 
@@ -491,17 +538,24 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
 
 def insert(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
            mask: jnp.ndarray, leaf: float, cell_size: float,
-           center: jnp.ndarray, window: jnp.ndarray):
+           center: jnp.ndarray, window: jnp.ndarray,
+           point_cap: int | None = None, touched_cap: int | None = None):
     """Single-stream insert — delegates to the batched kernel (B=1), so
-    there is exactly one insert semantics to test and maintain. Dense-list
-    caps scale to the single-stream worst case (every point its own
-    bucket)."""
+    there is exactly one insert semantics to test and maintain. Default
+    dense-list caps are generous (point_cap covers a full bucket: anything
+    beyond bucket_cap appends would be slot-dropped regardless); callers
+    that need single/batched drop-count parity (mapping) pass explicit
+    caps to both paths."""
     g1 = jax.tree.map(lambda x: x[None], grid)
     n = pts.shape[0]
+    if point_cap is None:
+        point_cap = max(grid.bucket_cap, 32)
+    if touched_cap is None:
+        touched_cap = min(n, 8192)
     out, merged, appended, evicted, dropped = insert_b(
         g1, pts[None], inten[None], mask[None], leaf, cell_size,
-        center[None], window, point_cap=32,
-        touched_cap=min(n, 8192))
+        center[None], window, point_cap=point_cap,
+        touched_cap=touched_cap)
     return (jax.tree.map(lambda x: x[0], out), merged[0], appended[0],
             evicted[0], dropped[0])
 
@@ -510,8 +564,8 @@ def extract(grid: GridMap):
     """Host-side (points, intensity) of all valid entries."""
     import numpy as np
     cell = np.asarray(grid.cell).reshape(grid.cell.shape[:-1]
-                                         + (grid.bucket_cap, 3))
-    m = cell[..., 0] != _EMPTY
-    pts = np.asarray(grid.pts).reshape(grid.pts.shape[:-1]
-                                       + (grid.bucket_cap, 3))
+                                         + (3, grid.bucket_cap))
+    m = cell[..., 0, :] != _EMPTY
+    pts = np.moveaxis(np.asarray(grid.pts).reshape(
+        grid.pts.shape[:-1] + (3, grid.bucket_cap)), -2, -1)
     return pts[m], np.asarray(grid.inten)[m]

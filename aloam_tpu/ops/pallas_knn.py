@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: fused gated k-NN selection over candidate blocks.
+
+Replaces the XLA tail of ``gridmap.knn_from_cache_b`` — per query-chunk,
+the dense distance computation plus k passes of min/argmin/extract read
+the (qc, 3W) candidate rows from HBM once and run entirely in VMEM,
+instead of XLA's materialize-d2-then-re-read-per-pass schedule (the
+select tail measured ~35 ms per mapping kNN call at B=16; the kernel
+reads the 1.8 GB of candidate rows exactly once).
+
+Layout contract (see ops/gridmap.py docstring): candidate rows are
+coordinate-PLANAR ``[x(W) | y(W) | z(W)]`` — inside the kernel every
+intermediate is (TQ, W)-shaped, respecting the (8, 128) VMEM tiling; a
+(TQ, W, 3) form would lane-pad 3 -> 128 and overflow VMEM.
+
+Tie-breaking matches ``jnp.argmin`` (lowest index), identical to the XLA
+path; the interpret-mode equivalence test pins this.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = float("inf")
+
+
+def _knn_select_kernel(crow_ref, q_ref, dout_ref, nx_ref, ny_ref, nz_ref,
+                       *, k: int, width: int):
+    crow = crow_ref[:]                       # (TQ, 3W) planar
+    xs = crow[:, :width]
+    ys = crow[:, width:2 * width]
+    zs = crow[:, 2 * width:]
+    q = q_ref[:]                             # (TQ, 4): x, y, z, poison
+    d2 = ((xs - q[:, 0:1]) ** 2 + (ys - q[:, 1:2]) ** 2
+          + (zs - q[:, 2:3]) ** 2)
+    d2 = jnp.where(q[:, 3:4] > 0.0, _INF, d2)
+
+    tq = d2.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, width), 1)
+    for j in range(k):
+        m = jnp.min(d2, axis=1)
+        am = jnp.argmin(d2, axis=1)
+        sel = iota == am[:, None]
+        dout_ref[:, j] = m
+        nx_ref[:, j] = jnp.sum(jnp.where(sel, xs, 0.0), axis=1)
+        ny_ref[:, j] = jnp.sum(jnp.where(sel, ys, 0.0), axis=1)
+        nz_ref[:, j] = jnp.sum(jnp.where(sel, zs, 0.0), axis=1)
+        d2 = jnp.where(sel, _INF, d2)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "interpret"))
+def knn_select(crow: jnp.ndarray, q: jnp.ndarray, k: int = 5,
+               tq: int = 256, interpret: bool = False):
+    """crow (N, 3W) planar candidate rows; q (N, 4) [x, y, z, poison>0].
+
+    Returns (d2 (N, k), nbrs (N, k, 3)). N must be a multiple of tq.
+    """
+    n, w3 = crow.shape
+    width = w3 // 3
+    pad = (-n) % tq
+    if pad:
+        crow = jnp.pad(crow, ((0, pad), (0, 0)))
+        q = jnp.pad(q, ((0, pad), (0, 0)), constant_values=1.0)  # poisoned
+    kp = max(8, k)  # pad the select axis to a full sublane
+    grid = ((n + pad) // tq,)
+    outs = pl.pallas_call(
+        functools.partial(_knn_select_kernel, k=k, width=width),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, w3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n + pad, kp), jnp.float32)
+                   for _ in range(4)],
+        interpret=interpret,
+    )(crow, q)
+    d2, nx, ny, nz = outs
+    nbrs = jnp.stack([nx[:n, :k], ny[:n, :k], nz[:n, :k]], axis=-1)
+    return d2[:n, :k], nbrs

@@ -66,25 +66,49 @@ def batched_step_jit(cfg: AloamConfig, donate: bool = True):
 
 
 def batched_step_fn(cfg: AloamConfig, mesh: Mesh):
-    """Jitted vmapped step with the stream axis sharded over "data".
+    """Jitted batched step sharded over the mesh: streams over "data", the
+    persistent map TABLES additionally over "model" (their hash-bucket
+    axis). GSPMD partitions the map kernels across the model axis — each
+    device holds 1/n_model of every stream's voxel-hash tables, bucket
+    gathers/scatters run shard-local where the hash lands locally, and XLA
+    inserts the ICI collectives for the cross-shard remainder (the
+    SURVEY.md §2.4 "sharded map option"; the 21x21x11-cube world map is by
+    far the largest state). n_model must divide the table sizes.
 
     Returns f(batched_state, xyz (B, n_raw, 3), mask (B, n_raw))
     -> (batched_state, batched_outputs).
     """
+    from aloam_tpu.ops.gridmap import GridMap
+
     vstep = lambda s, x, m: pipeline.step_b(s, x, m, cfg)  # noqa: E731
     shard = NamedSharding(mesh, P("data"))
+    shard_dm = NamedSharding(mesh, P("data", "model"))
+    n_model = mesh.shape["model"]
+    assert cfg.map_table_corner % n_model == 0
+    assert cfg.map_table_surf % n_model == 0
+
+    def put_grid(g: GridMap) -> GridMap:
+        return GridMap(*(jax.lax.with_sharding_constraint(x, shard_dm)
+                         for x in g))
 
     def put(tree):
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, shard), tree)
 
+    def put_state(state):
+        new_map = put(state.map)._replace(
+            corner=put_grid(state.map.corner),
+            surf=put_grid(state.map.surf))
+        return state._replace(odom=put(state.odom), map=new_map,
+                              frame=state.frame)
+
     @jax.jit
     def f(state, xyz, mask):
-        state = put(state)
+        state = put_state(state)
         xyz = jax.lax.with_sharding_constraint(xyz, shard)
         mask = jax.lax.with_sharding_constraint(mask, shard)
         new_state, outs = vstep(state, xyz, mask)
-        return put(new_state), outs
+        return put_state(new_state), outs
 
     return f
 
