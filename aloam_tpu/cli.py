@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--skip-first", type=int, default=0,
                    help="discard the first N scans (the reference's "
                         "systemDelay, scanRegistration.cpp:62)")
+    p.add_argument("--dump-rings", type=int, default=None, metavar="FRAME",
+                   help="write per-ring debug clouds of the given frame to "
+                        "rings_FRAME.npz (the PUB_EACH_LINE channel, "
+                        "scanRegistration.cpp:444-454)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -115,6 +119,19 @@ def main(argv=None):
             if i >= args.frames:
                 break
             t_frame = TicToc()
+            if args.dump_rings == i:
+                from aloam_tpu.frontend import register_scan
+                rc, curv, _ = jax.jit(
+                    lambda x, m: register_scan(x, m, cfg))(
+                    jnp.asarray(xyz), jnp.asarray(mask))
+                rpath = os.path.join(args.out, f"rings_{i:06d}.npz")
+                np.savez(rpath, xyz=np.asarray(rc.xyz),
+                         intensity=np.asarray(rc.intensity),
+                         cnt=np.asarray(rc.cnt),
+                         curvature=np.asarray(curv))
+                print(f"per-ring debug clouds -> {rpath} "
+                      f"({int(np.asarray(rc.cnt).sum())} points, "
+                      f"{rc.xyz.shape[0]} rings)")
             state, out = step(state, jnp.asarray(xyz), jnp.asarray(mask))
             # one fused transfer per frame (device->host round-trips through
             # the TPU tunnel cost ~0.1 s each)

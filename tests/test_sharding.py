@@ -118,6 +118,19 @@ def test_batched_streams_match_unsharded(mesh):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_distributed_helpers_single_process(mesh):
+    """The multi-host helpers must be single-process no-ops that still
+    produce a usable global mesh and local batch split."""
+    from aloam_tpu.parallel import distributed
+
+    distributed.initialize()          # no coordinator -> no-op
+    m = distributed.global_mesh(n_model=2)
+    assert m.shape["model"] == 2
+    assert m.shape["data"] * 2 == len(jax.devices())
+    local, off = distributed.process_local_batch(m.shape["data"])
+    assert (local, off) == (m.shape["data"], 0)
+
+
 def test_sharded_knn_matches_dense(mesh, rng):
     q = rng.normal(size=(64, 3)).astype(np.float32) * 5
     ref = rng.normal(size=(1024, 3)).astype(np.float32) * 5
