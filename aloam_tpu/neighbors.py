@@ -167,9 +167,25 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
                        nearby_scan: int, want_same_ring: bool,
                        chunk: int = 8192):
     """Batched odom_window_mins: sel (B,Q,3), ref (B,M,3). Identical
-    per-stream semantics; the chunk matmul is a batched MXU contraction and
-    the ring gather is one flat op."""
+    per-stream semantics; on TPU the whole search runs as one fused Pallas
+    kernel with the reference cloud resident in VMEM (ops/pallas_odom.py —
+    the XLA form materializes (B,Q,chunk) distance blocks in HBM twice);
+    elsewhere the chunk matmul is a batched MXU contraction and the ring
+    gather is one flat op."""
     from aloam_tpu.utils.batch import bgather
+    if jax.default_backend() == "tpu":
+        from aloam_tpu.ops.pallas_odom import window_mins
+        big = jnp.float32(1e9)
+        ref_p = jnp.concatenate(
+            [jnp.where(ref_mask[:, None, :],
+                       jnp.moveaxis(ref, 1, 2), big),
+             jnp.where(ref_mask[:, :, None],
+                       ref_ring.astype(jnp.float32)[:, :, None],
+                       big).reshape(ref.shape[0], 1, -1)], axis=1)
+        outs = window_mins(sel, ref_p, float(nearby_scan))
+        if not want_same_ring:
+            return outs[0], outs[1], outs[2], outs[3]
+        return outs
     bsz, q_n = sel.shape[:2]
     m = ref.shape[1]
     pad = (-m) % chunk

@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: fused odometry correspondence search (flash-style).
+
+Replaces ``neighbors.odom_window_mins_b``'s XLA scan, which materializes
+(B, Q, M) distance-matrix chunks in HBM twice per call (~50 ms at B=16
+for the surf pass). Here the reference cloud lives in VMEM for the whole
+query block — (M, 4) at the odometry cloud sizes is only ~400 KB — and
+both passes (global 1-NN, then the ring-window mins around the found
+neighbor's ring, laserOdometry.cpp:312-361/402-455) stream over it in
+VMEM chunks with running min/argmin carries. Nothing Q x M ever touches
+HBM.
+
+Layout contract: the reference cloud arrives coordinate-PLANAR
+``(B, 4, M) = [x | y | z | ring]`` with invalid rows poisoned
+(coords/ring = 1e9); see the minor-dim rule in ops/gridmap.py.
+
+Tie-breaks match the XLA path: chunks merge in order with a strict <,
+and argmin takes the lowest index inside a chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = float("inf")
+
+
+def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
+                   nearby: float):
+    sel = sel_ref[0]                          # (TQ, 4): x y z (pad)
+    m_total = ref_ref.shape[2]
+    n_chunks = m_total // m_chunk
+    tq = sel.shape[0]
+    qx, qy, qz = sel[:, 0:1], sel[:, 1:2], sel[:, 2:3]
+
+    def d2_of(c):
+        # dynamic chunk loads from the VMEM ref inside fori_loop bodies:
+        # an unrolled python loop kept every chunk temporary live and
+        # OOM'd the VMEM stack, and lax.dynamic_slice on VALUES has no
+        # Mosaic lowering — pl.ds on the Ref is the supported form
+        sl = pl.ds(c * m_chunk, m_chunk)
+        rx = ref_ref[0, 0, sl][None, :]
+        ry = ref_ref[0, 1, sl][None, :]
+        rz = ref_ref[0, 2, sl][None, :]
+        return ((qx - rx) ** 2 + (qy - ry) ** 2 + (qz - rz) ** 2)
+
+    def ring_of(c):
+        return ref_ref[0, 3, pl.ds(c * m_chunk, m_chunk)][None, :]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, m_chunk), 1)
+
+    def upd(best, d2, c, ring_c=None, best_ring=None):
+        loc = jnp.min(d2, axis=1)
+        am = jnp.argmin(d2, axis=1)
+        better = loc < best[0]
+        bd = jnp.where(better, loc, best[0])
+        bi = jnp.where(better, am + c * m_chunk, best[1])
+        if ring_c is None:
+            return bd, bi
+        sel_r = iota == am[:, None]
+        r_at = jnp.sum(jnp.where(sel_r, ring_c, 0.0), axis=1)
+        return bd, bi, jnp.where(better, r_at, best_ring)
+
+    # ---- pass 1: global 1-NN (+ the neighbor's ring) ---------------------
+    def body1(c, st):
+        bd, bi, br = st
+        ring_c = jnp.broadcast_to(ring_of(c), (tq, m_chunk))
+        return upd((bd, bi), d2_of(c), c, ring_c, br)
+
+    bd, bi, br = jax.lax.fori_loop(
+        0, n_chunks, body1,
+        (jnp.full((tq,), _INF, jnp.float32), jnp.zeros((tq,), jnp.int32),
+         jnp.full((tq,), 1e9, jnp.float32)))
+
+    # ---- pass 2: ring-window mins around ring_nn -------------------------
+    def body2(c, st):
+        dd, di, sd, si = st
+        d2 = d2_of(c)
+        adiff = jnp.abs(ring_of(c) - br[:, None])
+        w_diff = (adiff >= 1.0) & (adiff <= nearby)
+        dd, di = upd((dd, di), jnp.where(w_diff, d2, _INF), c)
+        gidx = iota + c * m_chunk
+        w_same = (adiff < 0.5) & (gidx != bi[:, None])
+        sd, si = upd((sd, si), jnp.where(w_same, d2, _INF), c)
+        return dd, di, sd, si
+
+    dd, di, sd, si = jax.lax.fori_loop(
+        0, n_chunks, body2,
+        (jnp.full((tq,), _INF, jnp.float32), jnp.zeros((tq,), jnp.int32),
+         jnp.full((tq,), _INF, jnp.float32), jnp.zeros((tq,), jnp.int32)))
+
+    out_ref[0] = jnp.stack(
+        [bd, bi.astype(jnp.float32), dd, di.astype(jnp.float32),
+         sd, si.astype(jnp.float32), br, jnp.zeros((tq,), jnp.float32)],
+        axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nearby", "tq", "m_chunk", "interpret"))
+def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
+                nearby: float, tq: int = 256, m_chunk: int = 1024,
+                interpret: bool = False):
+    """sel (B, Q, 3); ref_planar (B, 4, M) [x|y|z|ring], invalid poisoned.
+
+    Returns (d2_nn, idx_nn, d2_diff, idx_diff, d2_same, idx_same), each
+    (B, Q) — idx as int32, d2 +inf where no candidate.
+    """
+    bsz, q_n, _ = sel.shape
+    m = ref_planar.shape[2]
+    pad_q = (-q_n) % tq
+    pad_m = (-m) % m_chunk
+    if pad_q:
+        sel = jnp.pad(sel, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_m:
+        ref_planar = jnp.pad(ref_planar, ((0, 0), (0, 0), (0, pad_m)),
+                             constant_values=1e9)
+    sel4 = jnp.pad(sel, ((0, 0), (0, 0), (0, 1)))
+    qt = (q_n + pad_q) // tq
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, m_chunk=m_chunk, nearby=nearby),
+        grid=(bsz, qt),
+        in_specs=[
+            pl.BlockSpec((1, tq, 4), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, m + pad_m), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, 8), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, q_n + pad_q, 8), jnp.float32),
+        interpret=interpret,
+    )(sel4, ref_planar)
+    out = out[:, :q_n]
+    return (out[..., 0], out[..., 1].astype(jnp.int32),
+            out[..., 2], out[..., 3].astype(jnp.int32),
+            out[..., 4], out[..., 5].astype(jnp.int32))

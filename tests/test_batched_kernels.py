@@ -209,6 +209,47 @@ def test_pallas_knn_select_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(nb_p), nb_ref, atol=1e-5)
 
 
+def test_pallas_window_mins_matches_xla(rng):
+    """The Pallas odometry-search kernel (interpret mode) must agree with
+    the XLA scan path on every output (indices included — same chunk-order
+    strict-< merge and lowest-index argmin)."""
+    from aloam_tpu.neighbors import odom_window_mins_b
+    from aloam_tpu.ops.pallas_odom import window_mins
+
+    bsz, q, m = 2, 96, 700
+    sel = rng.uniform(-10, 10, size=(bsz, q, 3)).astype(np.float32)
+    ref = rng.uniform(-10, 10, size=(bsz, m, 3)).astype(np.float32)
+    ring = np.sort(rng.integers(0, 16, size=(bsz, m)), axis=1)
+    mask = rng.uniform(size=(bsz, m)) > 0.1
+
+    xla = odom_window_mins_b(jnp.asarray(sel), jnp.asarray(ref),
+                             jnp.asarray(mask),
+                             jnp.asarray(ring, np.int32), 2,
+                             want_same_ring=True, chunk=256)
+
+    big = np.float32(1e9)
+    ref_p = np.concatenate(
+        [np.where(mask[:, None, :], np.moveaxis(ref, 1, 2), big),
+         np.where(mask[:, :, None], ring[..., None].astype(np.float32),
+                  big).reshape(bsz, 1, m)], axis=1)
+    pal = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), 2.0,
+                      tq=32, m_chunk=256, interpret=True)
+
+    for j, (a, b) in enumerate(zip(xla, pal)):
+        a, b = np.asarray(a), np.asarray(b)
+        if j % 2 == 0:  # d2 columns: masked-out rows are inf vs ~1e18.
+            # the kernel computes (q-r)^2 directly while the XLA path uses
+            # the recentered matmul expansion -> ~1e-5-relative rounding
+            both_far = (a > 1e17) & (b > 1e17)
+            np.testing.assert_allclose(np.where(both_far, 0, a),
+                                       np.where(both_far, 0, b),
+                                       rtol=1e-4, atol=1e-4)
+        else:           # index columns: exact where a candidate existed
+            d_prev = np.asarray(xla[j - 1])
+            has = d_prev < 1e17
+            np.testing.assert_array_equal(a[has], b[has])
+
+
 def test_knn_b_cell_spill_is_counted(grids):
     """Queries past cell_cap distinct cells come back gated (+inf d2) and
     counted — capacity losses are never silent."""
