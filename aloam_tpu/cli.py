@@ -42,6 +42,14 @@ def main(argv=None):
     p.add_argument("--skip-first", type=int, default=0,
                    help="discard the first N scans (the reference's "
                         "systemDelay, scanRegistration.cpp:62)")
+    p.add_argument("--surround-every", type=int, default=0, metavar="K",
+                   help="write the local-neighborhood map cloud every K "
+                        "frames (the /laser_cloud_surround 5-frame cadence, "
+                        "laserMapping.cpp:806-821)")
+    p.add_argument("--map-every", type=int, default=0, metavar="K",
+                   help="write the full map cloud every K frames (the "
+                        "/laser_cloud_map 20-frame cadence, "
+                        "laserMapping.cpp:823-836)")
     p.add_argument("--dump-rings", type=int, default=None, metavar="FRAME",
                    help="write per-ring debug clouds of the given frame to "
                         "rings_FRAME.npz (the PUB_EACH_LINE channel, "
@@ -149,6 +157,18 @@ def main(argv=None):
             if (m["corner_corr"] + m["plane_corr"]) < 10 and i > 0:
                 print(f"frame {i}: less correspondence! "
                       f"({int(m['corner_corr'])}+{int(m['plane_corr'])})")
+            if args.surround_every and (i + 1) % args.surround_every == 0:
+                from aloam_tpu import mapping as mp
+                c_sur, s_sur = mp.extract_surround(state.map, cfg)
+                spath = os.path.join(args.out, f"surround_{i + 1:06d}.npz")
+                np.savez(spath, corner=c_sur, surf=s_sur)
+                print(f"surround ({len(c_sur)}+{len(s_sur)} pts) -> {spath}")
+            if args.map_every and (i + 1) % args.map_every == 0:
+                from aloam_tpu import mapping as mp
+                c_map, s_map = mp.extract_map_cloud(state.map, cfg)
+                mpath = os.path.join(args.out, f"map_{i + 1:06d}.npz")
+                np.savez(mpath, corner=c_map, surf=s_map)
+                print(f"map ({len(c_map)}+{len(s_map)} pts) -> {mpath}")
             if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
                 path = os.path.join(args.out, f"state_{i + 1:06d}.npz")
                 ckpt.save(path, state)
@@ -182,11 +202,16 @@ def main(argv=None):
             "frames": n,
             "median_wall_ms": steady,
             "ate_rmse_m": ate_rmse(tm[:, :3], gt_t[:n], align=False),
-            "rpe_trans_m": rpe(tm[:, :3], gt_t[:n])[0],
         }
-        if gt_q is not None and len(gt_q) >= n:
+        # KITTI-convention RPE/drift (start-pose-anchored relative motion)
+        # when GT orientations exist; world increments otherwise
+        have_q = gt_q is not None and len(gt_q) >= n
+        eq, gq = (tm[:, 3:7], gt_q[:n]) if have_q else (None, None)
+        summary["rpe_trans_m"] = rpe(tm[:, :3], gt_t[:n],
+                                     est_q=eq, gt_q=gq)[0]
+        if have_q:
             summary["rpe_rot_deg"] = rpe_rot(tm[:, 3:7], gt_q[:n])[0]
-        drift, n_seg = kitti_drift(tm[:, :3], gt_t[:n])
+        drift, n_seg = kitti_drift(tm[:, :3], gt_t[:n], est_q=eq, gt_q=gq)
         if n_seg:
             # KITTI convention: mean translational drift over 100-800 m
             # segments (needs a few hundred meters of trajectory)

@@ -71,26 +71,40 @@ class AloamConfig:
     map_edge_half_len: float = 0.1      # :615 (virtual edge point offset, m)
 
     # --- padded static capacities (ours, not the reference's) -----------
+    # Caps below were sized from measured HDL-64 occupancy maxima at B=16
+    # (tools/occupancy_stats.py, round 3: surf stack 2.7k, corner stack
+    # 2.1k, ~700 query cells, ~570 touched buckets) with ~2-3x margins —
+    # every kernel's cost scales with the CAP, not the content, and all
+    # cap pressure is surfaced in the overflow/spill metrics, never silent.
     n_raw: int = 131072                 # raw input points per scan (padded)
     ring_cap: int = 2560                # max points per ring after bucketing
     less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
     corner_stack_cap: int = 4096        # downsampled input corner stack
-    surf_stack_cap: int = 24576         # downsampled input surf stack
+    surf_stack_cap: int = 8192          # downsampled input surf stack
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
     map_query_chunk: int = 0            # gridmap.knn query chunking (0 = off;
                                         # set for batched streams, see knn doc)
-    map_cell_cap: int = 4096            # knn_b distinct query cells per
+    map_cell_cap: int = 2048            # knn_b distinct query cells per
                                         # stream; spills are gated + counted
+    map_cache_reuse: bool = True        # round 2+ reuses round 1's knn
+                                        # candidate blocks; queries whose
+                                        # base cell moved see a stale block
+                                        # (measured ~5-10% while converging,
+                                        # ~0 steady-state; the
+                                        # map_cache_crossed metric counts
+                                        # them). False = re-search every
+                                        # round (exact laserMapping.cpp
+                                        # :562-727 semantics, ~+8% step)
     map_insert_point_cap: int = 16      # insert_b dense-list points/bucket
-    map_insert_cell_cap: int = 4096     # insert_b touched buckets/stream
+    map_insert_cell_cap: int = 2048     # insert_b touched buckets/stream
                                         # (spills -> dropped, counted)
     # persistent spatial-hash map (ops/gridmap.py): the 2x2x2-cell query
     # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq); bucket caps
     # must hold a cell's worst-case voxel count (cell/leaf + 1)^2-ish for
     # surfaces plus clutter
     knn_cell: float = 2.0
-    map_table_corner: int = 16384
-    map_table_surf: int = 32768
+    map_table_corner: int = 8192
+    map_table_surf: int = 16384
     map_bucket_corner: int = 32
     map_bucket_surf: int = 48
 

@@ -46,13 +46,40 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
     return float(np.sqrt(((est - gt) ** 2).sum(axis=1).mean()))
 
 
-def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1):
-    """Relative pose error over position increments at frame spacing delta.
+def _rot_inv_apply(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Apply R(q)^T to rows of v; q (N,4) wxyz, v (N,3)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q.T
+    # conjugate rotation: R(q)^T v = R(q*) v
+    x, y, z = -x, -y, -z
+    uv = np.stack([y * v[:, 2] - z * v[:, 1],
+                   z * v[:, 0] - x * v[:, 2],
+                   x * v[:, 1] - y * v[:, 0]], axis=-1)
+    uuv = np.stack([y * uv[:, 2] - z * uv[:, 1],
+                    z * uv[:, 0] - x * uv[:, 2],
+                    x * uv[:, 1] - y * uv[:, 0]], axis=-1)
+    return v + 2.0 * (w[:, None] * uv + uuv)
+
+
+def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1,
+        est_q: np.ndarray | None = None, gt_q: np.ndarray | None = None):
+    """Relative pose error at frame spacing delta (translation part).
+
+    With quaternions given, follows the KITTI convention (Geiger et al.
+    CVPR 2012): each segment's motion is expressed in its START pose's
+    frame, trans(inv(P_i) P_{i+delta}) = R_i^T (t_{i+delta} - t_i), so
+    rotational drift shows up in the comparison. Without rotations it
+    degrades to world-frame position increments (rotation-blind — fine
+    for unit tests that have no orientation stream).
     Returns (rmse_trans, per-step errors)."""
     est = np.asarray(est, np.float64)
     gt = np.asarray(gt, np.float64)
     d_e = est[delta:] - est[:-delta]
     d_g = gt[delta:] - gt[:-delta]
+    if est_q is not None and gt_q is not None:
+        d_e = _rot_inv_apply(np.asarray(est_q)[:-delta], d_e)
+        d_g = _rot_inv_apply(np.asarray(gt_q)[:-delta], d_g)
     err = np.linalg.norm(d_e - d_g, axis=1)
     return float(np.sqrt((err ** 2).mean())), err
 
@@ -92,25 +119,33 @@ def rpe_rot(est_q: np.ndarray, gt_q: np.ndarray, delta: int = 1):
 
 
 def kitti_drift(est: np.ndarray, gt: np.ndarray,
-                lengths=(100, 200, 300, 400, 500, 600, 700, 800)):
+                lengths=(100, 200, 300, 400, 500, 600, 700, 800),
+                est_q: np.ndarray | None = None,
+                gt_q: np.ndarray | None = None):
     """KITTI odometry translational drift [%]: for every start frame and
     every segment length L (by GT arc length), the endpoint translation
-    error of the GT-anchored relative motion, as a percentage of L;
-    averaged over all segments (Geiger et al. CVPR 2012 convention,
-    translation part). Returns (mean_pct or nan, n_segments)."""
+    error of the relative motion — each segment anchored in its start
+    pose's frame when rotations are given (Geiger et al. CVPR 2012
+    convention, translation part; rotation-blind world increments
+    otherwise) — as a percentage of L, averaged over all segments.
+    Returns (mean_pct or nan, n_segments)."""
     est = np.asarray(est, np.float64)
     gt = np.asarray(gt, np.float64)
     dist = np.concatenate([[0.0], np.cumsum(
         np.linalg.norm(np.diff(gt, axis=0), axis=1))])
+    anchored = est_q is not None and gt_q is not None
     errs = []
     for L in lengths:
         for i in range(len(gt)):
             j = np.searchsorted(dist, dist[i] + L)
             if j >= len(gt):
                 break
-            d_e = est[j] - est[i]
-            d_g = gt[j] - gt[i]
-            errs.append(np.linalg.norm(d_e - d_g) / L * 100.0)
+            d_e = (est[j] - est[i])[None]
+            d_g = (gt[j] - gt[i])[None]
+            if anchored:
+                d_e = _rot_inv_apply(np.asarray(est_q)[i:i + 1], d_e)
+                d_g = _rot_inv_apply(np.asarray(gt_q)[i:i + 1], d_g)
+            errs.append(np.linalg.norm(d_e[0] - d_g[0]) / L * 100.0)
     if not errs:
         return float("nan"), 0
     return float(np.mean(errs)), len(errs)

@@ -147,6 +147,33 @@ def _select_rings(pts, curv, cnt, cfg: AloamConfig):
     return label, picked, in_any
 
 
+def _select_labels(pts, curv, cnt, cfg: AloamConfig):
+    """Label grid for all rings: dispatches to the fused Pallas walk on TPU
+    (ops/pallas_select.py — the 144 greedy picks run entirely in VMEM) and
+    to the XLA loop in _select_rings elsewhere. Returns (label (R', C)
+    int, in_region (R', C) bool)."""
+    r, c = curv.shape
+    sp, ep, size, ring_ok = jax.vmap(
+        lambda n: _region_bounds(n, cfg.n_regions))(cnt)
+    idx = jnp.arange(c, dtype=jnp.int32)[None, :]
+    in_any = ring_ok[:, None] & (idx >= 5) & (idx <= ep[:, -1:]) \
+        & (idx < cnt[:, None])
+    if jax.default_backend() != "tpu":
+        label, _, _ = _select_rings(pts, curv, cnt, cfg)
+        return label, in_any
+    from aloam_tpu.ops.pallas_select import select_rings
+    ep_eff = jnp.where((size > 0) & ring_ok[:, None], ep, -1)
+    spep = jnp.concatenate([sp, ep_eff], axis=1).astype(jnp.float32)
+    d = pts[:, 1:] - pts[:, :-1]
+    bad = (jnp.sum(d * d, axis=-1) > cfg.nms_gap_sq).astype(jnp.float32)
+    bcum = jnp.concatenate([jnp.zeros((r, 1), jnp.float32),
+                            jnp.cumsum(bad, axis=1)], axis=1)
+    label = select_rings(curv, bcum, spep, cfg.n_regions, cfg.max_sharp,
+                         cfg.max_less_sharp, cfg.max_flat, cfg.nms_window,
+                         cfg.curvature_threshold)
+    return label, in_any
+
+
 def extract_features(rc: RingCloud, curv: jnp.ndarray,
                      cfg: AloamConfig) -> ScanFeatures:
     """C5 + C6: run selection on every ring, voxel-downsample the less-flat
@@ -187,67 +214,71 @@ def extract_features_b(rc: RingCloud, curv: jnp.ndarray,
     compactions are payload-carrying sorts (see the class-sort comment).
     Returns ScanFeatures with (B, cap, ·) leaves."""
     bsz, r, c = curv.shape
-    label, picked, in_region = _select_rings(
+    label, in_region = _select_labels(
         rc.xyz.reshape(bsz * r, c, 3), curv.reshape(bsz * r, c),
         rc.cnt.reshape(bsz * r), cfg)
-    label = label.reshape(bsz, r * c)
-    in_region = in_region.reshape(bsz, r * c)
 
     n_rows = r * c
-    xs = rc.xyz.reshape(bsz, n_rows, 3)
-    ins = rc.intensity.reshape(bsz, n_rows)
+    xs = rc.xyz.reshape(bsz * r, c, 3)
+    ins = rc.intensity.reshape(bsz * r, c)
 
     def pc(out, m):
         return PointCloud(xyz=out[..., :3], intensity=out[..., 3], mask=m)
 
-    # One class-keyed payload sort compacts sharp / less-sharp / flat at
-    # once: class 0 = sharp (label 2), 1 = less-sharp-only (label 1),
-    # 2 = flat (label -1), 3 = rest. Stable sort keeps arrival order
-    # within each class; the clouds are class-grouped rather than
-    # arrival-interleaved — every consumer (and the oracle tests) is
-    # order-insensitive, and this replaces three full-grid compaction
-    # scatters (~60 ms each at B=16) with one ~20 ms sort.
+    # One PER-RING class-keyed payload sort compacts sharp / less-sharp /
+    # flat at once: class 0 = sharp (label 2), 1 = less-sharp-only
+    # (label 1), 2 = flat (label -1), 3 = rest. Per-ring pick counts are
+    # bounded by construction (≤ n_regions·max_* each), so every cloud is
+    # a static head slice of its ring's sorted row — no global compaction
+    # sort and no overflow. Per-ring rows (C=2560) also sort ~2x faster
+    # than the former full-grid (R·C) rows. Clouds come out ring-grouped
+    # rather than arrival-interleaved; every consumer (and the oracle
+    # tests) is order-insensitive.
     cls = jnp.where(label == 2, 0,
                     jnp.where(label == 1, 1,
                               jnp.where(label == -1, 2, 3))).astype(jnp.int32)
     _, sx, sy, sz, si = jax.lax.sort(
         (cls, xs[..., 0], xs[..., 1], xs[..., 2], ins),
         dimension=1, num_keys=1, is_stable=True)
-    sorted_f = jnp.stack([sx, sy, sz, si], axis=-1)         # (B, N, 4)
-    n2 = jnp.sum((label == 2).astype(jnp.int32), axis=1)    # (B,)
+    sorted_f = jnp.stack([sx, sy, sz, si], axis=-1)         # (B·R, C, 4)
+    n2 = jnp.sum((label == 2).astype(jnp.int32), axis=1)    # (B·R,)
     n1 = jnp.sum((label == 1).astype(jnp.int32), axis=1)
     nm1 = jnp.sum((label == -1).astype(jnp.int32), axis=1)
 
-    def head_cloud(count, cap):
-        m = jnp.arange(cap)[None, :] < jnp.minimum(count, cap)[:, None]
-        out = jnp.where(m[..., None], sorted_f[:, :cap], 0.0)
-        return pc(out, m), jnp.sum(jnp.maximum(count - cap, 0))
+    def ring_heads(rows, count, cap_r, cap_total):
+        """Per-ring head slice -> (B, cap_total) cloud (cap_r·R never
+        exceeds cap_total: caps are the same products, rounded up)."""
+        m = jnp.arange(cap_r, dtype=jnp.int32)[None, :] < count[:, None]
+        out = jnp.where(m[..., None], rows[:, :cap_r], 0.0)
+        out = out.reshape(bsz, r * cap_r, 4)
+        m = m.reshape(bsz, r * cap_r)
+        pad = cap_total - r * cap_r
+        assert pad >= 0, (cap_r, cap_total)
+        if pad:
+            out = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
+            m = jnp.pad(m, ((0, 0), (0, pad)))
+        return pc(out, m)
 
-    sharp, d1 = head_cloud(n2, cfg.sharp_cap)
-    less_sharp, d2 = head_cloud(n2 + n1, cfg.less_sharp_cap)
-    f_rows = _dyn_rows(sorted_f, n2 + n1, cfg.flat_cap)
-    f_m = jnp.arange(cfg.flat_cap)[None, :] \
-        < jnp.minimum(nm1, cfg.flat_cap)[:, None]
-    flat = pc(jnp.where(f_m[..., None], f_rows, 0.0), f_m)
-    d3 = jnp.sum(jnp.maximum(nm1 - cfg.flat_cap, 0))
+    sharp = ring_heads(sorted_f, n2, cfg.n_regions * cfg.max_sharp,
+                       cfg.sharp_cap)
+    less_sharp = ring_heads(sorted_f, n2 + n1,
+                            cfg.n_regions * cfg.max_less_sharp,
+                            cfg.less_sharp_cap)
+    f_rows = _dyn_rows(sorted_f, n2 + n1, cfg.n_regions * cfg.max_flat)
+    flat = ring_heads(f_rows, nm1, cfg.n_regions * cfg.max_flat,
+                      cfg.flat_cap)
 
+    # the voxel output is head-packed per ring already — the less-flat
+    # cloud is a static per-ring slice too (no compaction sort); per-ring
+    # cap pressure is counted, never silent
     lf_xyz, lf_int, lf_mask, d4 = voxel_downsample_rings(
-        rc.xyz.reshape(bsz * r, c, 3), rc.intensity.reshape(bsz * r, c),
-        ((label <= 0) & in_region).reshape(bsz * r, c), cfg.less_flat_leaf)
-    # same trick for the post-voxel less-flat compaction: sort by ~mask
-    lfm = lf_mask.reshape(bsz, n_rows)
-    lf3 = lf_xyz.reshape(bsz, n_rows, 3)
-    lfi = lf_int.reshape(bsz, n_rows)
-    _, lx, ly, lz, li = jax.lax.sort(
-        ((~lfm).astype(jnp.int32), lf3[..., 0], lf3[..., 1], lf3[..., 2],
-         lfi), dimension=1, num_keys=1, is_stable=True)
-    lf_sorted = jnp.stack([lx, ly, lz, li], axis=-1)
-    n_lf = jnp.sum(lfm.astype(jnp.int32), axis=1)
-    lf_m = jnp.arange(cfg.less_flat_cap)[None, :] \
-        < jnp.minimum(n_lf, cfg.less_flat_cap)[:, None]
-    less_flat = pc(jnp.where(lf_m[..., None],
-                             lf_sorted[:, :cfg.less_flat_cap], 0.0), lf_m)
-    d5 = jnp.sum(jnp.maximum(n_lf - cfg.less_flat_cap, 0))
+        xs, ins, (label <= 0) & in_region, cfg.less_flat_leaf)
+    lf_cap_r = min(c, cfg.less_flat_cap // r)
+    n_lf_r = jnp.sum(lf_mask.astype(jnp.int32), axis=1)     # (B·R,)
+    lf4 = jnp.concatenate([lf_xyz[:, :lf_cap_r],
+                           lf_int[:, :lf_cap_r, None]], axis=-1)
+    less_flat = ring_heads(lf4, n_lf_r, lf_cap_r, cfg.less_flat_cap)
+    d5 = jnp.sum(jnp.maximum(n_lf_r - lf_cap_r, 0))
 
     # the full ring cloud stays slot-ordered with gaps MASKED, not
     # compacted: compactness was a ROS-serialization detail
@@ -255,8 +286,11 @@ def extract_features_b(rc: RingCloud, curv: jnp.ndarray,
     # and the compaction scatter was ~15% of the frontend
     slot = jnp.arange(c, dtype=jnp.int32)[None, None, :]
     full_mask = (slot < rc.cnt[:, :, None]).reshape(bsz, r * c)
-    full = pc(jnp.concatenate([xs, ins[..., None]], axis=-1), full_mask)
+    full = pc(jnp.concatenate([xs, ins[..., None]],
+                              axis=-1).reshape(bsz, r * c, 4), full_mask)
 
-    overflow = d1 + d2 + d3 + d4 + d5
+    # sharp/less-sharp/flat cannot overflow (per-ring head slices of
+    # bounded pick counts); only less-flat cap pressure remains
+    overflow = d4 + d5
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
                         less_flat=less_flat, full=full, overflow=overflow)

@@ -8,12 +8,19 @@ partitions anchored at the origin (``ijk = floor(coord / leaf)``) and output
 ordered by flattened voxel index (x fastest, then y, then z) — matching the
 PCL leaf layout so oracle comparisons are order-exact.
 
-Implemented as ONE variadic lexicographic ``lax.sort`` that carries the
-payload columns alongside the (k, j, i) keys — measured 5.5x faster at
-SLAM shapes than the previous 2-3 pass stable-argsort + permutation-gather
-form (14.6 vs 80 ms at (1024, 2560) x 4 channels on this TPU: every
-eliminated pass was a 2.6M-row gather). Segment means via one flat
-scatter-add; everything is shape-static.
+Pipeline (round 3 — fully gather/scatter-free):
+
+1. ONE variadic lexicographic ``lax.sort`` by the (k, ji) voxel keys that
+   carries the payload columns (measured 5.5x faster than argsort +
+   permutation gathers at SLAM shapes).
+2. Per-segment sums via a SEGMENTED inclusive scan (``associative_scan``
+   with a reset-at-head combine) — sums stay within their segment, so f32
+   accuracy matches direct summation.
+3. Compaction of the per-segment totals (sitting at segment TAILS) by a
+   second payload sort keyed on ``is_tail`` — replacing the former flat
+   scatter-add, which at B=16 HDL-64 ring shapes cost ~158 ms (2.6M
+   row-latency-bound scatter rows); the sort form measures ~10 ms.
+   Stable sort keeps (k, ji) order, so output stays PCL-ordered.
 """
 
 from __future__ import annotations
@@ -24,51 +31,26 @@ import jax.numpy as jnp
 _SENTINEL = 2 ** 30  # plain scalar: jnp constants at import time would init backends
 
 
-def _segment_means_batch(vals_s: jnp.ndarray, mask_s: jnp.ndarray,
-                         new_seg: jnp.ndarray, out_cap: int):
-    """Batched per-segment means of segment-sorted rows: one *flat*
-    scatter-add over all rows (batched/vmapped scatters measured ~100x
-    slower than their flattened single-op equivalents on this backend)."""
-    r, n, k_dim = vals_s.shape
-    seg = jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1
-    n_seg = seg[:, -1] + 1
-
-    row = jnp.arange(r, dtype=jnp.int32)[:, None]
-    ok = mask_s & (seg >= 0) & (seg < out_cap)
-    dest = jnp.where(ok, row * out_cap + seg, r * out_cap).reshape(-1)
-    ext = jnp.concatenate(
-        [jnp.where(mask_s[..., None], vals_s, 0.0),
-         mask_s.astype(vals_s.dtype)[..., None]], axis=-1)
-    totals = jnp.zeros((r * out_cap, k_dim + 1), vals_s.dtype).at[dest].add(
-        ext.reshape(-1, k_dim + 1), mode="drop")
-    totals = totals.reshape(r, out_cap, k_dim + 1)
-    cnts = totals[..., k_dim]
-    out = totals[..., :k_dim] / jnp.maximum(cnts, 1.0)[..., None]
-    out_mask = jnp.arange(out_cap)[None, :] < n_seg[:, None]
-    out = jnp.where(out_mask[..., None], out, 0.0)
-    return out, out_mask, jnp.maximum(n_seg - out_cap, 0)  # per-row drops
-
-
 def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
                 out_cap: int):
     """Shared rows-batched core. values (R, N, K) with xyz leading, mask
-    (R, N). One lexicographic sort by (k, ji) — identical order to a
-    stable radix sort by i, then j, then k — with the K payload columns
-    riding the same sort. (j, i) pack exactly into one key after a
-    per-row rebase: a single cloud spans well under 8192 cells per axis
-    at any leaf ≥ 0.1 m, and fewer sort keys measured faster. Invalid
-    rows sort last via a sentinel k."""
+    (R, N). Sort by (k, ji) — identical order to a stable radix sort by
+    i, then j, then k — with the K payload columns riding the same sort.
+    (j, i) pack exactly into one key after a per-row rebase: a single
+    cloud spans well under 8192 cells per axis at any leaf ≥ 0.1 m, and
+    fewer sort keys measured faster. Invalid rows sort last via a
+    sentinel k. Returns (out (R, out_cap, K), out_mask, per-row drops)."""
+    r, n, k_dim = values.shape
     ijk = jnp.floor(values[..., :3] * (1.0 / leaf)).astype(jnp.int32)
     base = jnp.min(jnp.where(mask[..., None], ijk, 2 ** 30), axis=1,
                    keepdims=True)
     rel = jnp.clip(ijk - base, 0, 8191)
     ji = rel[..., 1] * 8192 + rel[..., 0]
     k = jnp.where(mask, rel[..., 2], _SENTINEL)
-    cols = tuple(values[..., c] for c in range(values.shape[-1]))
+    cols = tuple(values[..., c] for c in range(k_dim))
     out = jax.lax.sort((k, ji) + cols, dimension=1, num_keys=2,
                        is_stable=True)
     k_s, ji_s = out[0], out[1]
-    vals_s = jnp.stack(out[2:], axis=-1)
     mask_s = k_s < _SENTINEL
 
     def diff(a):
@@ -76,7 +58,42 @@ def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
 
     new_seg = (diff(k_s) | diff(ji_s))
     new_seg = new_seg.at[:, 0].set(True) & mask_s
-    return _segment_means_batch(vals_s, mask_s, new_seg, out_cap)
+
+    # --- segmented inclusive prefix sums (reset at each segment head) ----
+    vals_s = [jnp.where(mask_s, v, 0.0) for v in out[2:]]
+    vals_s.append(mask_s.astype(jnp.float32))            # count channel
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return tuple(bvi + jnp.where(bf, 0.0, avi)
+                     for avi, bvi in zip(av, bv)), af | bf
+
+    prefix, _ = jax.lax.associative_scan(
+        combine, (tuple(vals_s), new_seg), axis=1)
+
+    # segment totals live at segment TAILS: the slot before the next head
+    # (or the last valid slot). Compact them with one stable payload sort
+    # keyed on is_tail — order stays (k, ji), i.e. PCL leaf order.
+    nxt_head = jnp.concatenate(
+        [new_seg[:, 1:] | ~mask_s[:, 1:], jnp.ones((r, 1), bool)], axis=1)
+    is_tail = mask_s & nxt_head
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    key2 = jnp.where(is_tail, iota, _SENTINEL)
+    packed = jax.lax.sort((key2,) + tuple(prefix), dimension=1, num_keys=1,
+                          is_stable=True)
+    totals = packed[1:1 + k_dim]
+    cnts = packed[1 + k_dim]
+
+    n_seg = jnp.sum(is_tail.astype(jnp.int32), axis=1)   # (R,)
+    out_mask = jnp.arange(out_cap)[None, :] < n_seg[:, None]
+    m = min(out_cap, n)
+    means = jnp.stack([t[:, :m] for t in totals], axis=-1) \
+        / jnp.maximum(cnts[:, :m], 1.0)[..., None]
+    if m < out_cap:
+        means = jnp.pad(means, ((0, 0), (0, out_cap - m), (0, 0)))
+    means = jnp.where(out_mask[..., None], means, 0.0)
+    return means, out_mask, jnp.maximum(n_seg - out_cap, 0)
 
 
 def voxel_downsample_masked(values: jnp.ndarray, mask: jnp.ndarray,

@@ -244,11 +244,11 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     dup = jnp.any(same & tri, axis=-1)                      # (B, C, 8)
     # poison duplicate buckets via the _FAR sentinel (fails every gate)
     cand = jnp.where(dup[..., None], _FAR, cand)
-    # flatten to per-cell candidate rows, coordinate-PLANAR over the full
-    # 8-bucket block: [x(8Bk) | y(8Bk) | z(8Bk)] — the layout the dense
-    # distance pass and the Pallas select kernel consume
-    cand = _viewp(cand)                                     # (B,C,8,3,Bk)
-    cand = jnp.moveaxis(cand, 3, 2)                         # (B,C,3,8,Bk)
+    # candidate rows stay in the GATHER-NATIVE block-planar layout —
+    # 8 sub-blocks of [x(Bk) | y(Bk) | z(Bk)] — so the build is just
+    # gather + poison; the distance pass / Pallas kernel do the per-
+    # sub-block coordinate slicing (a full-row [x|y|z] relayout measured
+    # ~300 MB of pure transpose traffic per frame at B=16)
     cand_flat = cand.reshape(bsz, cell_cap, 3 * n_cand)
 
     # per-query cell slot, back in input order (flat scatter)
@@ -284,10 +284,14 @@ def knn_from_cache_b(cache: KnnCache, query: jnp.ndarray, k: int,
             q4 = jnp.concatenate(
                 [q_chunk, poison[..., None].astype(jnp.float32)], axis=-1)
             d2f, nbf = knn_select(crow.reshape(bs * qc, 3 * n_cand),
-                                  q4.reshape(bs * qc, 4), k)
+                                  q4.reshape(bs * qc, 4), k,
+                                  bw=n_cand // 8)
             return (d2f.reshape(bs, qc, k), nbf.reshape(bs, qc, k, 3))
-        crow = crow.reshape(q_chunk.shape[:2] + (3, n_cand))
-        cx, cy, cz = crow[..., 0, :], crow[..., 1, :], crow[..., 2, :]
+        # block-planar rows: 8 sub-blocks of [x(Bk) | y(Bk) | z(Bk)]
+        crow = crow.reshape(q_chunk.shape[:2] + (8, 3, n_cand // 8))
+        cx = crow[..., 0, :].reshape(q_chunk.shape[:2] + (n_cand,))
+        cy = crow[..., 1, :].reshape(q_chunk.shape[:2] + (n_cand,))
+        cz = crow[..., 2, :].reshape(q_chunk.shape[:2] + (n_cand,))
         d2 = ((cx - q_chunk[..., 0:1]) ** 2
               + (cy - q_chunk[..., 1:2]) ** 2
               + (cz - q_chunk[..., 2:3]) ** 2)              # (B, qc, n)
@@ -436,14 +440,13 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap_c, cap_p), 2)
     pvalid = iota_p < jnp.minimum(cnt, cap_p)[..., None]    # (B, C, P)
     inv_cell = 1.0 / cell_size
-    pcx = jnp.floor(ppx * inv_cell).astype(jnp.int32)       # (B, C, P)
-    pcy = jnp.floor(ppy * inv_cell).astype(jnp.int32)
-    pcz = jnp.floor(ppz * inv_cell).astype(jnp.int32)
+    # matching on the hashed voxel id alone: equal vox ids imply the same
+    # leaf voxel (⊂ same cell) up to the 32-bit hash collisions the
+    # _vox_id docstring already accepts — the former cell-coordinate
+    # comparisons only re-guarded those and cost 4 more (B, C, P, Bk)
+    # passes
     match = (pvalid[..., None] & occ[:, :, None, :]
-             & (pvox[..., None] == s_vox[:, :, None, :])
-             & (pcx[..., None] == s_cx[:, :, None, :])
-             & (pcy[..., None] == s_cy[:, :, None, :])
-             & (pcz[..., None] == s_cz[:, :, None, :]))     # (B, C, P, Bk)
+             & (pvox[..., None] == s_vox[:, :, None, :]))   # (B, C, P, Bk)
     has_match = jnp.any(match, axis=-1)                     # (B, C, P)
     m_any = jnp.any(match, axis=2)                          # (B, C, Bk)
     # voxel-downsampled stacks give ≤1 match per slot, but raw inputs can
@@ -493,18 +496,26 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     def wr_f(vals_p):
         return jnp.einsum("bcpk,bcp->bck", ohsf, vals_p)
 
-    def wr_i(vals_p):
-        # int payloads (cells, vox hashes) are NOT f32-exact: int reduce
-        return jnp.sum(jnp.where(oh_slot, vals_p[..., None], 0), axis=2)
-
     s_px = jnp.where(wr_any, wr_f(ppx), s_px)
     s_py = jnp.where(wr_any, wr_f(ppy), s_py)
     s_pz = jnp.where(wr_any, wr_f(ppz), s_pz)
     s_int = jnp.where(wr_any, wr_f(ppi), s_int)
-    s_cx = jnp.where(wr_any, wr_i(pcx), s_cx)
-    s_cy = jnp.where(wr_any, wr_i(pcy), s_cy)
-    s_cz = jnp.where(wr_any, wr_i(pcz), s_cz)
-    s_vox = jnp.where(wr_any, wr_i(pvox), s_vox)
+    # cell coords / vox id of an appended slot are pure functions of the
+    # written (exactly copied) point coordinates — recompute them
+    # elementwise instead of four more (B, C, P, Bk) one-hot reductions.
+    # Merged slots keep their cell/vox: the midpoint of two points of one
+    # voxel stays inside that (convex) voxel.
+    a_cx = jnp.floor(s_px * inv_cell).astype(jnp.int32)
+    a_cy = jnp.floor(s_py * inv_cell).astype(jnp.int32)
+    a_cz = jnp.floor(s_pz * inv_cell).astype(jnp.int32)
+    inv_leaf = 1.0 / leaf
+    a_vox = ((jnp.floor(s_px * inv_leaf).astype(jnp.int32) * _P1)
+             ^ (jnp.floor(s_py * inv_leaf).astype(jnp.int32) * _P2)
+             ^ (jnp.floor(s_pz * inv_leaf).astype(jnp.int32) * _P3))
+    s_cx = jnp.where(wr_any, a_cx, s_cx)
+    s_cy = jnp.where(wr_any, a_cy, s_cy)
+    s_cz = jnp.where(wr_any, a_cz, s_cz)
+    s_vox = jnp.where(wr_any, a_vox, s_vox)
 
     # --- scatter finished tiles back (wide rows, used buckets only) -------
     hoff = (jnp.arange(bsz, dtype=jnp.int32) * table_size)[:, None]

@@ -29,11 +29,18 @@ _INF = float("inf")
 
 
 def _knn_select_kernel(crow_ref, q_ref, dout_ref, nx_ref, ny_ref, nz_ref,
-                       *, k: int, width: int):
-    crow = crow_ref[:]                       # (TQ, 3W) planar
-    xs = crow[:, :width]
-    ys = crow[:, width:2 * width]
-    zs = crow[:, 2 * width:]
+                       *, k: int, bw: int):
+    crow = crow_ref[:]                       # (TQ, 8·3·bw) block-planar
+    n_blocks = crow.shape[1] // (3 * bw)
+    xs = jnp.concatenate(
+        [crow[:, 3 * j * bw:(3 * j + 1) * bw] for j in range(n_blocks)], 1)
+    ys = jnp.concatenate(
+        [crow[:, (3 * j + 1) * bw:(3 * j + 2) * bw]
+         for j in range(n_blocks)], 1)
+    zs = jnp.concatenate(
+        [crow[:, (3 * j + 2) * bw:(3 * j + 3) * bw]
+         for j in range(n_blocks)], 1)
+    width = n_blocks * bw
     q = q_ref[:]                             # (TQ, 4): x, y, z, poison
     d2 = ((xs - q[:, 0:1]) ** 2 + (ys - q[:, 1:2]) ** 2
           + (zs - q[:, 2:3]) ** 2)
@@ -52,15 +59,18 @@ def _knn_select_kernel(crow_ref, q_ref, dout_ref, nx_ref, ny_ref, nz_ref,
         d2 = jnp.where(sel, _INF, d2)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tq", "bw", "interpret"))
 def knn_select(crow: jnp.ndarray, q: jnp.ndarray, k: int = 5,
-               tq: int = 256, interpret: bool = False):
-    """crow (N, 3W) planar candidate rows; q (N, 4) [x, y, z, poison>0].
+               tq: int = 256, bw: int = 0, interpret: bool = False):
+    """crow (N, 8·3·bw) block-planar candidate rows (8 sub-blocks of
+    [x(bw) | y(bw) | z(bw)] — gridmap.knn_cache_b's gather-native layout;
+    bw=0 means one block of 3·(W/3)); q (N, 4) [x, y, z, poison>0].
 
     Returns (d2 (N, k), nbrs (N, k, 3)). N must be a multiple of tq.
     """
     n, w3 = crow.shape
-    width = w3 // 3
+    if bw == 0:
+        bw = w3 // 3
     pad = (-n) % tq
     if pad:
         crow = jnp.pad(crow, ((0, pad), (0, 0)))
@@ -68,7 +78,7 @@ def knn_select(crow: jnp.ndarray, q: jnp.ndarray, k: int = 5,
     kp = max(8, k)  # pad the select axis to a full sublane
     grid = ((n + pad) // tq,)
     outs = pl.pallas_call(
-        functools.partial(_knn_select_kernel, k=k, width=width),
+        functools.partial(_knn_select_kernel, k=k, bw=bw),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, w3), lambda i: (i, 0),

@@ -31,22 +31,32 @@ _INF = float("inf")
 
 def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
                    nearby: float):
-    sel = sel_ref[0]                          # (TQ, 4): x y z (pad)
+    sel = sel_ref[0]                          # (TQ, 4): x y z 0
     m_total = ref_ref.shape[2]
     n_chunks = m_total // m_chunk
     tq = sel.shape[0]
-    qx, qy, qz = sel[:, 0:1], sel[:, 1:2], sel[:, 2:3]
+    q2 = jnp.sum(sel * sel, axis=1, keepdims=True)           # (TQ, 1)
 
     def d2_of(c):
         # dynamic chunk loads from the VMEM ref inside fori_loop bodies:
         # an unrolled python loop kept every chunk temporary live and
         # OOM'd the VMEM stack, and lax.dynamic_slice on VALUES has no
-        # Mosaic lowering — pl.ds on the Ref is the supported form
+        # Mosaic lowering — pl.ds on the Ref is the supported form.
+        # d2 rides the MXU via the q² − 2q·r + r² expansion (sel's 4th
+        # column is 0, so the ring row drops out of the contraction);
+        # HIGHEST keeps f32 accuracy (a bare bf16 pass would corrupt the
+        # 25 m² gates). Poisoned refs sit at 1e9 → d2 ≈ 3e18, failing
+        # every merge, like the direct form.
         sl = pl.ds(c * m_chunk, m_chunk)
-        rx = ref_ref[0, 0, sl][None, :]
-        ry = ref_ref[0, 1, sl][None, :]
-        rz = ref_ref[0, 2, sl][None, :]
-        return ((qx - rx) ** 2 + (qy - ry) ** 2 + (qz - rz) ** 2)
+        refc = ref_ref[0, :, sl]                             # (4, m_chunk)
+        rx = refc[0:1, :]
+        ry = refc[1:2, :]
+        rz = refc[2:3, :]
+        r2 = rx * rx + ry * ry + rz * rz                     # (1, m_chunk)
+        cross = jax.lax.dot_general(
+            sel, refc, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)             # (TQ, m_chunk)
+        return jnp.maximum(q2 - 2.0 * cross + r2, 0.0)
 
     def ring_of(c):
         return ref_ref[0, 3, pl.ds(c * m_chunk, m_chunk)][None, :]
@@ -102,7 +112,7 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
 @functools.partial(jax.jit,
                    static_argnames=("nearby", "tq", "m_chunk", "interpret"))
 def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
-                nearby: float, tq: int = 256, m_chunk: int = 1024,
+                nearby: float, tq: int = 256, m_chunk: int = 2048,
                 interpret: bool = False):
     """sel (B, Q, 3); ref_planar (B, 4, M) [x|y|z|ring], invalid poisoned.
 

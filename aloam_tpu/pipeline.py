@@ -35,7 +35,7 @@ METRIC_NAMES = (
     "corner_corr", "plane_corr", "odom_cost", "map_corner_factors",
     "map_surf_factors", "map_solved", "frontend_overflow", "map_overflow",
     "map_evicted", "n_sharp", "n_flat", "n_less_sharp", "n_less_flat",
-    "odom_degenerate", "map_degenerate",
+    "odom_degenerate", "map_degenerate", "map_cache_crossed",
 )
 
 
@@ -127,6 +127,7 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
         feats.less_flat.count().astype(jnp.float32),
         om.degenerate.astype(jnp.float32),
         mm.degenerate.astype(jnp.float32),
+        jnp.asarray(mm.cache_crossed, jnp.float32),
     ])
     # /velodyne_cloud_registered (laserMapping.cpp:838-848): the full-res
     # ring cloud re-registered into the map frame by the refined pose.
@@ -184,6 +185,7 @@ def step_b(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
         vec(feats.sharp.count()), vec(feats.flat.count()),
         vec(feats.less_sharp.count()), vec(feats.less_flat.count()),
         vec(om.degenerate), vec(mm.degenerate),
+        vec(mm.cache_crossed),
     ], axis=-1)
 
     registered = registered_mask = None

@@ -345,3 +345,42 @@ def test_mapping_step_b_matches(populated):
         live_b = int(np.sum(np.asarray(
             st_b.surf.cell[b][..., :bk]) != gridmap._EMPTY))
         assert abs(live_s - live_b) <= 8, (b, live_s, live_b)
+
+
+def test_pallas_select_rings_matches_xla(rng):
+    """The Pallas fused greedy-selection kernel (interpret mode on CPU)
+    must reproduce _select_rings' label grid exactly — same masked-extremum
+    walk, same lowest-index tie-break, same gap-stopped NMS."""
+    from aloam_tpu.frontend import features as feat
+    from aloam_tpu.ops.pallas_select import select_rings
+
+    cfg = CFG
+    r, c = 24, 160
+    # ring-like geometry: points along arcs with occasional range jumps so
+    # the bad-gap prefix actually stops some NMS windows
+    th = np.cumsum(rng.uniform(0.001, 0.01, size=(r, c)), axis=1)
+    rad = 5.0 + np.where(rng.uniform(size=(r, c)) < 0.07,
+                         rng.uniform(1, 4, size=(r, c)), 0.0)
+    pts = np.stack([rad * np.cos(th), rad * np.sin(th),
+                    0.05 * rng.standard_normal((r, c))], -1).astype(np.float32)
+    curv = rng.uniform(0, 0.4, size=(r, c)).astype(np.float32)
+    cnt = rng.integers(0, c, size=(r,)).astype(np.int32)
+    cnt[:4] = [0, 5, 11, c]  # degenerate rings: empty, too small, minimal
+
+    label_x, _, _ = feat._select_rings(jnp.asarray(pts), jnp.asarray(curv),
+                                       jnp.asarray(cnt), cfg)
+
+    sp, ep, size, ring_ok = jax.vmap(
+        lambda n: feat._region_bounds(n, cfg.n_regions))(jnp.asarray(cnt))
+    ep_eff = jnp.where((size > 0) & ring_ok[:, None], ep, -1)
+    spep = jnp.concatenate([sp, ep_eff], axis=1).astype(jnp.float32)
+    d = pts[:, 1:] - pts[:, :-1]
+    bad = (np.sum(d * d, axis=-1) > cfg.nms_gap_sq).astype(np.float32)
+    bcum = np.concatenate([np.zeros((r, 1), np.float32),
+                           np.cumsum(bad, axis=1)], axis=1)
+    label_p = select_rings(jnp.asarray(curv), jnp.asarray(bcum), spep,
+                           cfg.n_regions, cfg.max_sharp, cfg.max_less_sharp,
+                           cfg.max_flat, cfg.nms_window,
+                           cfg.curvature_threshold, tr=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(label_x, np.int32),
+                                  np.asarray(label_p))

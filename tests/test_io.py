@@ -84,3 +84,32 @@ def test_umeyama_recovers_rigid_transform(rng):
     np.testing.assert_allclose(rot, r_true, atol=1e-8)
     np.testing.assert_allclose(t, t_true, atol=1e-8)
     assert ate_rmse(pts, moved, align=True) < 1e-8
+
+
+def test_rpe_drift_kitti_convention_sees_yaw_drift():
+    """Geiger et al. anchor each segment in its start pose's frame: an
+    estimate with perfect positions but yawed orientations must show a
+    non-zero KITTI RPE/drift (world-frame increments are blind to it).
+    Hand-built case: straight-line GT along x, est positions identical,
+    est yaw = 30 deg -> per-step body-frame error = 2 sin(15 deg) * step."""
+    from aloam_tpu.eval import kitti_drift, rpe
+
+    n, step = 220, 1.0
+    gt_t = np.stack([np.arange(n) * step, np.zeros(n), np.zeros(n)], -1)
+    est_t = gt_t.copy()
+    gt_q = np.tile([1.0, 0, 0, 0], (n, 1))
+    yaw = np.radians(30.0)
+    est_q = np.tile([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)], (n, 1))
+
+    # rotation-blind form: zero error
+    assert rpe(est_t, gt_t)[0] < 1e-12
+    # KITTI convention: the yaw shows up, with the closed-form magnitude
+    r, per = rpe(est_t, gt_t, est_q=est_q, gt_q=gt_q)
+    expect = 2.0 * np.sin(yaw / 2) * step
+    np.testing.assert_allclose(r, expect, rtol=1e-9)
+
+    d_blind, _ = kitti_drift(est_t, gt_t, lengths=(100,))
+    d_kitti, n_seg = kitti_drift(est_t, gt_t, lengths=(100,),
+                                 est_q=est_q, gt_q=gt_q)
+    assert n_seg > 0 and d_blind < 1e-12
+    np.testing.assert_allclose(d_kitti, 2.0 * np.sin(yaw / 2) * 100.0, rtol=1e-6)
