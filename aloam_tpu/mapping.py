@@ -208,12 +208,75 @@ def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
                                mask=gate & plane_ok), spilled, cache
 
 
+def _assoc_out8_b(stack_s, poison, cache: gridmap.KnnCache, q, t,
+                  cfg: AloamConfig, kind: str):
+    """One fused association round over CELL-SORTED queries.
+
+    stack_s (B, Q, 3) sensor-frame stack in the cache's sorted order;
+    poison (B, Q) True masks a query out (gate forced shut — identical to
+    the XLA path's zeroed-neighbor semantics). Returns the packed (B, Q, 8)
+    factor columns of ops/pallas_assoc.py.
+
+    On TPU this is the fully fused kernel (cell-window DMA + one-hot
+    broadcast + select + fit, ops/pallas_assoc.assoc_cell); elsewhere an
+    XLA pipeline with identical semantics on the same sorted inputs
+    (interpret-mode tests + the bench's on-chip assertion pin the two
+    paths together)."""
+    from aloam_tpu.ops import pallas_assoc
+    sel = geo.qrot(q[:, None, :], stack_s) + t[:, None, :]
+    kw = dict(plane_tol=cfg.map_plane_tol, eigen_ratio=cfg.map_eigen_ratio,
+              half_len=cfg.map_edge_half_len)
+    if jax.default_backend() == "tpu":
+        bsz, q_n = sel.shape[:2]
+        tq = gridmap.ASSOC_TQ
+        crows = cache.cand_flat.shape[1]        # cell_cap + ASSOC_TQ
+        cid_sorted = cache.cid_sorted
+        q_pad = (-q_n) % tq                     # per-stream tile alignment
+        if q_pad:
+            # pad queries poisoned, pad cids with the stream's LAST value
+            # (keeps cid non-decreasing and the tile's cell span <= tq)
+            sel = jnp.pad(sel, ((0, 0), (0, q_pad), (0, 0)))
+            poison = jnp.pad(poison, ((0, 0), (0, q_pad)),
+                             constant_values=True)
+            cid_sorted = jnp.concatenate(
+                [cid_sorted,
+                 jnp.repeat(cid_sorted[:, -1:], q_pad, axis=1)], axis=1)
+            q_n += q_pad
+        cid_flat = (cid_sorted
+                    + (jnp.arange(bsz, dtype=jnp.int32) * crows)[:, None]
+                    ).reshape(bsz * q_n)
+        cid0 = cid_flat[::tq]                   # (B·Q/tq,)
+        local = (cid_flat - jnp.repeat(cid0, tq)).astype(jnp.float32)
+        q8 = jnp.concatenate(
+            [sel.reshape(bsz * q_n, 3),
+             poison.reshape(bsz * q_n, 1).astype(jnp.float32),
+             local[:, None],
+             jnp.zeros((bsz * q_n, 3), jnp.float32)], axis=-1)
+        out8 = pallas_assoc.assoc_cell(
+            cache.cand_flat.reshape(bsz * crows, -1), cid0, q8, kind,
+            cfg.map_knn_gate_sq, tq=tq, **kw)
+        return out8.reshape(bsz, q_n, 8)[:, :q_n - q_pad]
+    # XLA fallback: poisoned queries routed to the spill slot (same
+    # +inf-d2 semantics as the kernel's poison channel)
+    cid_p = jnp.where(poison, cache.cell_cap, cache.cid_sorted)
+    d2, near, _ = gridmap.knn_from_cache_b(
+        cache._replace(cid=cid_p), sel, 5, cfg.map_query_chunk)
+    return pallas_assoc.assoc_xla(d2, near, cfg.map_knn_gate_sq, kind, **kw)
+
+
 def mapping_step_b(state: MapState, corner_in: PointCloud,
                    surf_in: PointCloud, q_wodom, t_wodom,
                    cfg: AloamConfig):
     """Batched mapping_step: state leaves (B, ·), clouds (B, N, ·).
     Per-stream semantics identical to mapping_step; all gathers/scatters go
-    through the flat batched kernels. Metrics fields are (B,) vectors."""
+    through the flat batched kernels. Metrics fields are (B,) vectors.
+
+    The association rounds run over CELL-SORTED stacks (the order
+    ``gridmap.knn_cache_b``'s build sort produces): the LM solver and all
+    metrics reduce over factors order-independently, so no per-query
+    unsort is ever paid, and the fused kernel's contiguous cell-window
+    DMA applies. The insert path is order-independent too (it re-sorts by
+    bucket)."""
     import jax as _jax
     from aloam_tpu.frontend.voxel import voxel_downsample_masked_b
 
@@ -235,8 +298,8 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
                              axis=-1)
     s_ds, s_ds_mask, ds_ = voxel_downsample_masked_b(
         s_vals, surf_in.mask, cfg.plane_resolution, cfg.surf_stack_cap)
-    corner_stack = c_ds[..., :3]
-    surf_stack = s_ds[..., :3]
+    corner_stack, c_int = c_ds[..., :3], c_ds[..., 3]
+    surf_stack, s_int = s_ds[..., :3], s_ds[..., 3]
 
     lm_b = _jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
         (e, p), qq, tt, cfg.map_lm_iters, cfg.huber_delta))
@@ -246,22 +309,17 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     crossed = jnp.zeros(q_w.shape[0], jnp.int32)
     cells0 = None
     c_cache = s_cache = None
+
+    def build_cache(grid_s, stack, inten, m, qq, tt):
+        """Cache build + the cell sort, carrying the stack through it."""
+        sel0 = geo.qrot(qq[:, None, :], stack) + tt[:, None, :]
+        cache, (sx, sy, sz, it, mi) = gridmap.knn_cache_b(
+            grid_s, sel0, cfg.knn_cell, cfg.knn_radius, cfg.map_cell_cap,
+            payloads=(stack[..., 0], stack[..., 1], stack[..., 2],
+                      inten, m.astype(jnp.int32)))
+        return cache, jnp.stack([sx, sy, sz], -1), it, mi > 0
+
     for rnd in range(cfg.map_outer_rounds):
-        # quantify the cache-reuse deviation (see MapMetrics.cache_crossed):
-        # a query participates in the deviation iff its shifted base cell
-        # moved between rounds — count those, elementwise, no gathers
-        sel_c = geo.qrot(q_w[:, None, :], corner_stack) + t_w[:, None, :]
-        sel_s = geo.qrot(q_w[:, None, :], surf_stack) + t_w[:, None, :]
-        cc = gridmap._cells_of(sel_c - cfg.knn_radius, cfg.knn_cell)
-        sc = gridmap._cells_of(sel_s - cfg.knn_radius, cfg.knn_cell)
-        if rnd == 0:
-            cells0 = (cc, sc)
-        else:
-            crossed = crossed + jnp.sum(
-                jnp.any(cc != cells0[0], axis=-1)
-                & c_ds_mask & solve_ok[:, None], axis=1) + jnp.sum(
-                jnp.any(sc != cells0[1], axis=-1)
-                & s_ds_mask & solve_ok[:, None], axis=1)
         # round 2+ reuses round 1's candidate blocks (cfg.map_cache_reuse):
         # the reference re-runs its kd-tree search each round
         # (laserMapping.cpp:562-727). A query whose shifted base cell
@@ -272,15 +330,40 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
         # warm start is still coarse, ~0 at steady state; counted in
         # MapMetrics.cache_crossed, and map_cache_reuse=False restores
         # exact per-round re-search
-        if not cfg.map_cache_reuse:
-            c_cache = s_cache = None  # exact re-search every round
-        edges, sp1, c_cache = corner_associations_b(
-            corner_stack, c_ds_mask & solve_ok[:, None], state.corner,
-            q_w, t_w, cfg, c_cache)
-        planes, sp2, s_cache = surf_associations_b(
-            surf_stack, s_ds_mask & solve_ok[:, None], state.surf,
-            q_w, t_w, cfg, s_cache)
-        spills = spills + sp1 + sp2
+        if c_cache is None or not cfg.map_cache_reuse:
+            c_cache, corner_stack, c_int, c_ds_mask = build_cache(
+                state.corner, corner_stack, c_int, c_ds_mask, q_w, t_w)
+            s_cache, surf_stack, s_int, s_ds_mask = build_cache(
+                state.surf, surf_stack, s_int, s_ds_mask, q_w, t_w)
+            spills = spills + c_cache.n_spilled + s_cache.n_spilled
+        # quantify the cache-reuse deviation (see MapMetrics.cache_crossed):
+        # a query participates in the deviation iff its shifted base cell
+        # moved between rounds — count those, elementwise, no gathers
+        # (only meaningful while the stack order is round-stable, i.e.
+        # when the cache is reused)
+        if cfg.map_cache_reuse:
+            sel_c = geo.qrot(q_w[:, None, :], corner_stack) + t_w[:, None, :]
+            sel_s = geo.qrot(q_w[:, None, :], surf_stack) + t_w[:, None, :]
+            cc = gridmap._cells_of(sel_c - cfg.knn_radius, cfg.knn_cell)
+            sc = gridmap._cells_of(sel_s - cfg.knn_radius, cfg.knn_cell)
+            if rnd == 0:
+                cells0 = (cc, sc)
+            else:
+                crossed = crossed + jnp.sum(
+                    jnp.any(cc != cells0[0], axis=-1)
+                    & c_ds_mask & solve_ok[:, None], axis=1) + jnp.sum(
+                    jnp.any(sc != cells0[1], axis=-1)
+                    & s_ds_mask & solve_ok[:, None], axis=1)
+        c8 = _assoc_out8_b(corner_stack,
+                           ~(c_ds_mask & solve_ok[:, None]),
+                           c_cache, q_w, t_w, cfg, "corner")
+        s8 = _assoc_out8_b(surf_stack,
+                           ~(s_ds_mask & solve_ok[:, None]),
+                           s_cache, q_w, t_w, cfg, "surf")
+        edges = solver.EdgeFactors(p=corner_stack, a=c8[..., 0:3],
+                                   b=c8[..., 3:6], mask=c8[..., 6] > 0)
+        planes = solver.PlaneFactors(p=surf_stack, n=s8[..., 0:3],
+                                     d=s8[..., 3], mask=s8[..., 4] > 0)
         q_w, t_w, stats = lm_b(edges, planes, q_w, t_w)
         degen = degen + stats.clamped + stats.nonfinite
         n_edge = jnp.sum(edges.mask, axis=1)
@@ -298,9 +381,9 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
         out, om, dropped = voxel_downsample_masked_b(vals, m, leaf, cap)
         return out[..., :3], out[..., 3], om, dropped
 
-    c_pts, c_int, c_m, d1 = prep(corner_stack, c_ds[..., 3], c_ds_mask,
+    c_pts, c_int, c_m, d1 = prep(corner_stack, c_int, c_ds_mask,
                                  cfg.line_resolution, cfg.corner_stack_cap)
-    s_pts, s_int, s_m, d2 = prep(surf_stack, s_ds[..., 3], s_ds_mask,
+    s_pts, s_int, s_m, d2 = prep(surf_stack, s_int, s_ds_mask,
                                  cfg.plane_resolution, cfg.surf_stack_cap)
     corner, _, _, ev1, dr1 = gridmap.insert_b(
         state.corner, c_pts, c_int, c_m, cfg.line_resolution, cfg.knn_cell,

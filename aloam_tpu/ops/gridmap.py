@@ -189,6 +189,13 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     return -neg_top, nbrs
 
 
+# Tile height of the fused association kernel (ops/pallas_assoc.py) and
+# the number of pad rows appended to cand_flat so every tile's contiguous
+# cell window [cid0, cid0 + TQ) stays in-bounds (spilled queries sit at
+# slot cell_cap, so the last window reaches cell_cap + TQ - 1).
+ASSOC_TQ = 256
+
+
 class KnnCache(NamedTuple):
     """Per-cell candidate blocks + per-query cell slots (see knn_cache_b).
 
@@ -198,15 +205,27 @@ class KnnCache(NamedTuple):
     laserMapping.cpp:562-727 re-searches ~identically) sees the same
     candidate set except for the few queries whose shifted base cell
     crossed a 2 m boundary."""
-    cand_flat: jnp.ndarray   # (B, C, 8*3*Bk) dup-poisoned candidate xyz
+    cand_flat: jnp.ndarray   # (B, C + ASSOC_TQ, 8*3*Bk) candidate xyz
     cid: jnp.ndarray         # (B, Q) per-query cell slot (== C -> spilled)
+    # per-SORTED-query cell slot: non-decreasing along Q, the contiguity
+    # the fused association kernel's cell-window DMA relies on
+    cid_sorted: jnp.ndarray  # (B, Q)
     n_spilled: jnp.ndarray   # scalar
     cell_cap: int
 
 
 def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
-                radius: float = 1.0, cell_cap: int = 4096) -> KnnCache:
-    """Build the shared-cell candidate structure for knn_from_cache_b."""
+                radius: float = 1.0, cell_cap: int = 4096,
+                payloads: tuple = ()):
+    """Build the shared-cell candidate structure for knn_from_cache_b /
+    the fused association kernel.
+
+    payloads: optional (B, Q) arrays carried through the cell sort
+    (stack coordinates, intensity, masks, ...). Returns the cache alone
+    when empty, else ``(cache, sorted_payloads)`` — callers that keep all
+    downstream work in sorted order (mapping's batched path) avoid any
+    per-query unsort gathers: the LM solver and every metric reduce over
+    factors order-independently."""
     from aloam_tpu.utils.batch import bgather
     assert cell_size >= 2 * radius, (cell_size, radius)
     bsz, q_n = query.shape[:2]
@@ -219,8 +238,9 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     rel = jnp.clip(qcell - jnp.min(qcell, axis=1, keepdims=True), 0, 1023)
     key = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (bsz, q_n), 1)
-    key_s, cx_s, cy_s, cz_s, order = jax.lax.sort(
-        (key, qcell[..., 0], qcell[..., 1], qcell[..., 2], iota_q),
+    key_s, cx_s, cy_s, cz_s, order, *pay_s = jax.lax.sort(
+        (key, qcell[..., 0], qcell[..., 1], qcell[..., 2], iota_q)
+        + tuple(payloads),
         dimension=1, num_keys=1, is_stable=True)
     seg = jnp.concatenate(
         [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
@@ -228,20 +248,25 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     n_spilled = jnp.sum(cid_s >= cell_cap)
     cid_sc = jnp.minimum(cid_s, cell_cap)                   # spill slot
 
-    # cell coords per slot (one flat scatter; all writes per slot agree)
+    # cell coords per slot (one flat scatter; all writes per slot agree);
+    # ASSOC_TQ zero pad rows keep the fused kernel's cell-window DMA
+    # in-bounds — they hash to cell (0,0,0)'s real bucket block, and only
+    # poisoned (spilled) queries can map onto them
     coff = (jnp.arange(bsz, dtype=jnp.int32) * (cell_cap + 1))[:, None]
     qcell_s = jnp.stack([cx_s, cy_s, cz_s], axis=-1)
     slot_cell = jnp.zeros((bsz * (cell_cap + 1), 3), jnp.int32).at[
         (cid_sc + coff).reshape(-1)].set(qcell_s.reshape(-1, 3)).reshape(
             bsz, cell_cap + 1, 3)[:, :cell_cap]
+    slot_cell = jnp.concatenate(
+        [slot_cell, jnp.zeros((bsz, ASSOC_TQ, 3), jnp.int32)], axis=1)
 
     # --- per-cell candidate blocks (the deduped gather) -------------------
     ncells = slot_cell[:, :, None, :] + _offsets8()[None, None]
-    hh = _hash(ncells, table_size)                          # (B, C, 8)
-    cand = bgather(grid.pts, hh)                            # (B, C, 8, 3Bk)
+    hh = _hash(ncells, table_size)                          # (B, C+TQ, 8)
+    cand = bgather(grid.pts, hh)                            # (B,C+TQ,8,3Bk)
     same = hh[..., :, None] == hh[..., None, :]
     tri = jnp.tril(jnp.ones((8, 8), bool), -1)[None, None]
-    dup = jnp.any(same & tri, axis=-1)                      # (B, C, 8)
+    dup = jnp.any(same & tri, axis=-1)                      # (B, C+TQ, 8)
     # poison duplicate buckets via the _FAR sentinel (fails every gate)
     cand = jnp.where(dup[..., None], _FAR, cand)
     # candidate rows stay in the GATHER-NATIVE block-planar layout —
@@ -249,15 +274,18 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     # gather + poison; the distance pass / Pallas kernel do the per-
     # sub-block coordinate slicing (a full-row [x|y|z] relayout measured
     # ~300 MB of pure transpose traffic per frame at B=16)
-    cand_flat = cand.reshape(bsz, cell_cap, 3 * n_cand)
+    cand_flat = cand.reshape(bsz, cell_cap + ASSOC_TQ, 3 * n_cand)
 
     # per-query cell slot, back in input order (flat scatter)
     qoff = (jnp.arange(bsz, dtype=jnp.int32) * q_n)[:, None]
     cid = jnp.zeros((bsz * q_n,), jnp.int32).at[
         (order + qoff).reshape(-1)].set(cid_sc.reshape(-1)).reshape(
             bsz, q_n)
-    return KnnCache(cand_flat=cand_flat, cid=cid, n_spilled=n_spilled,
-                    cell_cap=cell_cap)
+    cache = KnnCache(cand_flat=cand_flat, cid=cid, cid_sorted=cid_sc,
+                     n_spilled=n_spilled, cell_cap=cell_cap)
+    if payloads:
+        return cache, tuple(pay_s)
+    return cache
 
 
 def knn_from_cache_b(cache: KnnCache, query: jnp.ndarray, k: int,

@@ -215,6 +215,52 @@ def verify_pallas_kernels():
                            atol=1e-4), "compiled knn_select nbr mismatch"
         d2[np.arange(n), am] = np.inf
 
+    # --- pallas_assoc.assoc_cell (fused mapping association) --------------
+    from aloam_tpu.ops.pallas_assoc import assoc_cell, assoc_xla
+    tq, bwa = 256, 48
+    wa = 8 * bwa
+    n_cells, nq = 96, 2 * tq
+    cand = rng.uniform(-1.0, 1.0,
+                       size=(n_cells + tq, 8, 3, bwa)).astype(np.float32)
+    far = rng.uniform(size=(n_cells + tq, 8, 1, bwa)) < 0.1
+    cand_flat = np.where(far, 1e9, cand).astype(np.float32).reshape(
+        n_cells + tq, 3 * wa)
+    cida = np.sort(rng.integers(0, n_cells, size=nq)).astype(np.int32)
+    qa = rng.uniform(-0.8, 0.8, size=(nq, 3)).astype(np.float32)
+    cid0 = cida[::tq].copy()
+    q8 = np.zeros((nq, 8), np.float32)
+    q8[:, :3], q8[:, 4] = qa, cida - np.repeat(cid0, tq)
+    blk = cand_flat[cida].reshape(nq, 8, 3, bwa)
+    xsa = blk[:, :, 0, :].reshape(nq, wa)
+    ysa = blk[:, :, 1, :].reshape(nq, wa)
+    zsa = blk[:, :, 2, :].reshape(nq, wa)
+    d2a = ((xsa - qa[:, 0:1]) ** 2 + (ysa - qa[:, 1:2]) ** 2
+           + (zsa - qa[:, 2:3]) ** 2)
+    dsl, nbl = [], []
+    for _ in range(5):
+        am = np.argmin(d2a, axis=1)
+        dsl.append(d2a[np.arange(nq), am].copy())
+        nbl.append(np.stack([xsa[np.arange(nq), am],
+                             ysa[np.arange(nq), am],
+                             zsa[np.arange(nq), am]], -1))
+        d2a[np.arange(nq), am] = np.inf
+    d2k = np.stack(dsl, -1)
+    near = np.stack(nbl, -2)
+    for kind, okc, ncol in (("surf", 4, 4), ("corner", 6, 6)):
+        ref = np.asarray(assoc_xla(jnp.asarray(d2k), jnp.asarray(near),
+                                   1.0, kind))
+        out = np.asarray(assoc_cell(
+            jnp.asarray(cand_flat), jnp.asarray(cid0), jnp.asarray(q8),
+            kind, 1.0, tq=tq, bw=bwa))
+        # ok flags may flip only on threshold-knife-edge rows (compiled
+        # f32 scalar chain vs einsum); coords must agree on shared-ok rows
+        agree = np.mean(ref[:, okc] == out[:, okc])
+        assert agree > 0.995, f"compiled assoc_cell {kind} ok flags {agree}"
+        both = (ref[:, okc] > 0) & (out[:, okc] > 0)
+        assert both.sum() > 20, f"assoc_cell {kind} fit path unexercised"
+        assert np.allclose(out[both][:, :ncol], ref[both][:, :ncol],
+                           atol=5e-3), f"compiled assoc_cell {kind} coords"
+
     # --- pallas_odom.window_mins -----------------------------------------
     from aloam_tpu.ops.pallas_odom import window_mins
     bsz, qn, m = 2, 256, 2048

@@ -384,3 +384,62 @@ def test_pallas_select_rings_matches_xla(rng):
                            cfg.curvature_threshold, tr=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(label_x, np.int32),
                                   np.asarray(label_p))
+
+
+def test_pallas_assoc_cell_matches_xla(rng):
+    """The fused association kernel (interpret mode on CPU) must reproduce
+    the XLA path — per-query crow gather + 5-pass select + assoc_xla fit —
+    on cell-sorted queries: identical ok flags, matching factor columns.
+    Pins the cell-window DMA + one-hot broadcast trick (any off-by-one in
+    the window or the local index shows up as a wrong neighborhood)."""
+    from aloam_tpu.ops.pallas_assoc import assoc_cell, assoc_xla
+
+    tq, bw = 64, 16
+    w = 8 * bw
+    n_cells, n = 40, 4 * tq
+    cand = rng.uniform(-1.0, 1.0,
+                       size=(n_cells + tq, 8, 3, bw)).astype(np.float32)
+    far = rng.uniform(size=(n_cells + tq, 8, 1, bw)) < 0.1
+    cand = np.where(far, 1e9, cand).astype(np.float32)
+    cand_flat = cand.reshape(n_cells + tq, 3 * w)
+
+    cid = np.sort(rng.integers(0, n_cells, size=n)).astype(np.int32)
+    q = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
+    poison = (rng.uniform(size=n) < 0.1).astype(np.float32)
+    cid0 = cid[::tq].copy()
+    local = cid - np.repeat(cid0, tq)
+    q8 = np.zeros((n, 8), np.float32)
+    q8[:, :3], q8[:, 3], q8[:, 4] = q, poison, local
+
+    # XLA reference: per-query gather + the same 5-pass argmin select
+    crow = cand_flat[cid]
+    blk = crow.reshape(n, 8, 3, bw)
+    xs = blk[:, :, 0, :].reshape(n, w)
+    ys = blk[:, :, 1, :].reshape(n, w)
+    zs = blk[:, :, 2, :].reshape(n, w)
+    d2 = ((xs - q[:, 0:1]) ** 2 + (ys - q[:, 1:2]) ** 2
+          + (zs - q[:, 2:3]) ** 2)
+    d2[poison > 0] = np.inf
+    ds, nb = [], []
+    for _ in range(5):
+        am = np.argmin(d2, axis=1)
+        ds.append(d2[np.arange(n), am].copy())
+        nb.append(np.stack([xs[np.arange(n), am], ys[np.arange(n), am],
+                            zs[np.arange(n), am]], -1))
+        d2[np.arange(n), am] = np.inf
+    d2k = np.stack(ds, -1)
+    near = np.stack(nb, -2)
+
+    for kind, okc, ncol in (("surf", 4, 4), ("corner", 6, 6)):
+        ref = np.asarray(assoc_xla(jnp.asarray(d2k), jnp.asarray(near),
+                                   1.0, kind))
+        out = np.asarray(assoc_cell(
+            jnp.asarray(cand_flat), jnp.asarray(cid0), jnp.asarray(q8),
+            kind, 1.0, tq=tq, bw=bw, interpret=True))
+        np.testing.assert_array_equal(ref[:, okc], out[:, okc])
+        live = ref[:, okc] > 0
+        assert live.sum() > 20  # the fit paths are actually exercised
+        # factor columns: scalar-expanded vs einsum fit, sub-ulp FMA
+        # ordering amplified through the normalizations
+        np.testing.assert_allclose(out[live][:, :ncol], ref[live][:, :ncol],
+                                   atol=5e-4)
