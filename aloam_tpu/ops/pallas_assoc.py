@@ -248,16 +248,32 @@ def _assoc_cell_kernel(cid0_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
                        plane_tol: float, eigen_ratio: float,
                        half_len: float):
     i = pl.program_id(0)
-    c0 = cid0_ref[i]
-    # the tile's full cell window as ONE contiguous DMA (bandwidth-bound)
-    pltpu.make_async_copy(cand_ref.at[pl.ds(c0, tq)], scratch, sem).start()
+    n_i = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def dma(idx, s):
+        # one contiguous cell-window DMA (bandwidth-bound, ~3-4.6 KB rows)
+        return pltpu.make_async_copy(
+            cand_ref.at[pl.ds(cid0_ref[idx], tq)], scratch.at[s],
+            sem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    # prefetch the NEXT tile's window while this tile computes
+    @pl.when(i + 1 < n_i)
+    def _():
+        dma(i + 1, nslot).start()
+
     q = q_ref[:]                                     # (TQ, 8)
     local = q[:, 4].astype(jnp.int32)                # cid - c0, in [0, TQ)
     oh = (local[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (tq, tq), 1)).astype(jnp.float32)
-    pltpu.make_async_copy(cand_ref.at[pl.ds(c0, tq)], scratch, sem).wait()
+    dma(i, slot).wait()
     # one-hot row select: exact (single nonzero per reduction, f32 HIGHEST)
-    crow = jax.lax.dot_general(oh, scratch[:], (((1,), (0,)), ((), ())),
+    crow = jax.lax.dot_general(oh, scratch[slot], (((1,), (0,)), ((), ())),
                                precision=_HI,
                                preferred_element_type=jnp.float32)
     ds, nxs, nys, nzs = _select5(crow, q, bw, 5)
@@ -304,8 +320,8 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
         out_specs=pl.BlockSpec((tq, OUT_W), lambda i, c: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tq, w3), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tq, w3), jnp.float32),   # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
