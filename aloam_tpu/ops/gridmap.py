@@ -374,93 +374,25 @@ def knn_b(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     return knn_from_cache_b(cache, query, k, query_chunk)
 
 
-def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
-             mask: jnp.ndarray, leaf: float, cell_size: float,
-             center: jnp.ndarray, window: jnp.ndarray,
-             point_cap: int = 16, touched_cap: int = 4096):
-    """Batched insert of one frame's voxel-downsampled stack per stream.
+def _merge_dense_xla(pts_tile, s_int, cell_tile, vox_tile,
+                     ppx, ppy, ppz, ppi, pvox, cnt, center, window,
+                     cell_size: float, leaf: float):
+    """Dense one-hot merge/append over gathered bucket tiles — the XLA
+    implementation of insert_b's per-bucket semantics (see insert_b's
+    docstring; the fused TPU twin is ops/pallas_insert.merge_tiles, pinned
+    to this by an interpret-mode equivalence test).
 
-    grid leaves (B, H, ·); pts (B, N, 3); center (B, 3) pose cell coords;
-    window (3,) half-extent in cells — entries outside center±window are
-    evictable first (the rolling-window discard, laserMapping.cpp:345-346).
-
-    Bucket-dedup dense design: points are sorted by bucket hash, every
-    *touched* bucket's tile is gathered ONCE, all its new points (≤
-    point_cap, voxel-downsample-bounded per cell) are merged/appended
-    against the 48 slots with dense one-hot algebra, and the finished tile
-    rows are scattered back — ~8x fewer gather/scatter rows than the
-    per-point form, and every row is wide (the layout rule in the module
-    docstring). Matching = same cell AND same voxel id; merge = midpoint
-    (iterated centroid). Appends fill slots in eviction-priority order:
-    empty < out-of-window (farthest first) < in-window (farthest first).
-
-    Returns (grid, merged (B,), appended (B,), evicted (B,), dropped (B,));
-    dropped counts every valid input point that neither merged nor
-    appended (bucket-slot pressure, point_cap or touched_cap spills).
-    """
-    from aloam_tpu.utils.batch import bgather
-    bsz, n = mask.shape
-    table_size = grid.vox.shape[1]
-    bucket_cap = grid.bucket_cap
-    cap_c, cap_p = touched_cap, point_cap
-
-    cell = _cells_of(pts, cell_size)                        # (B, N, 3)
-    vox = _vox_id(pts, leaf)
-    h = _hash(cell, table_size)
-    key = jnp.where(mask, h, table_size)
-
-    # one payload-carrying sort (no argsort + permutation gathers)
-    key_s, px_s, py_s, pz_s, pi_s, vox_s = jax.lax.sort(
-        (key, pts[..., 0], pts[..., 1], pts[..., 2], inten, vox),
-        dimension=1, num_keys=1, is_stable=True)
-    valid_s = key_s < table_size
-    pay_s = jnp.stack([px_s, py_s, pz_s, pi_s], axis=-1)    # (B, N, 4)
-
-    seg = valid_s & jnp.concatenate(
-        [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
-    cid_s = jnp.cumsum(seg.astype(jnp.int32), axis=1) - 1   # (B, N)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (bsz, n), 1)
-    head = jax.lax.cummax(jnp.where(seg, iota_n, -1), axis=1)
-    rank = iota_n - head                                    # (B, N)
-    keep = valid_s & (cid_s >= 0) & (cid_s < cap_c) & (rank < cap_p)
-    cid_c = jnp.where(keep, cid_s, cap_c)
-
-    # --- dense per-bucket point lists (flat scalar scatters) --------------
-    coff = (jnp.arange(bsz, dtype=jnp.int32) * (cap_c + 1))[:, None]
-    brow = cid_c + coff                                     # (B, N)
-    flat_np = bsz * (cap_c + 1) * cap_p
-    # clamp rank inside the position formula: an unclamped dropped row's
-    # rank (up to N) would index into ANOTHER stream's bucket region
-    ppos = jnp.where(keep, brow * cap_p + jnp.minimum(rank, cap_p - 1),
-                     flat_np).reshape(-1)
-
-    def scat_f32(vals):
-        return jnp.zeros((flat_np,), jnp.float32).at[ppos].set(
-            vals.reshape(-1), mode="drop").reshape(
-                bsz, cap_c + 1, cap_p)[:, :cap_c]
-
-    ppx = scat_f32(jnp.where(keep, pay_s[..., 0], 0.0))
-    ppy = scat_f32(jnp.where(keep, pay_s[..., 1], 0.0))
-    ppz = scat_f32(jnp.where(keep, pay_s[..., 2], 0.0))
-    ppi = scat_f32(jnp.where(keep, pay_s[..., 3], 0.0))
-    pvox = jnp.zeros((flat_np,), jnp.int32).at[ppos].set(
-        vox_s.reshape(-1), mode="drop").reshape(
-            bsz, cap_c + 1, cap_p)[:, :cap_c]
-    cnt = jnp.zeros((bsz * (cap_c + 1),), jnp.int32).at[brow.reshape(-1)].add(
-        jnp.where(keep, 1, 0).reshape(-1), mode="drop").reshape(
-            bsz, cap_c + 1)[:, :cap_c]
-    slot_h = jnp.zeros((bsz * (cap_c + 1),), jnp.int32).at[
-        brow.reshape(-1)].set(key_s.reshape(-1), mode="drop").reshape(
-            bsz, cap_c + 1)[:, :cap_c]
-    used = cnt > 0                                          # (B, C)
-
-    # --- gather touched-bucket tiles (coordinate planes) ------------------
-    s_p = _viewp(bgather(grid.pts, slot_h))                 # (B, C, 3, Bk)
+    pts_tile (B, C, 3Bk) planar [x|y|z]; cell_tile (B, C, 3Bk) i32;
+    s_int / vox_tile (B, C, Bk); pp* / pvox (B, C, P); cnt (B, C);
+    center (B, 3); window (3,). Returns the updated planes + per-bucket
+    (merged, appended, evicted) counts (B, C)."""
+    bsz, cap_c, cap_p = ppx.shape
+    bucket_cap = vox_tile.shape[-1]
+    s_p = _viewp(pts_tile)                                  # (B, C, 3, Bk)
     s_px, s_py, s_pz = s_p[..., 0, :], s_p[..., 1, :], s_p[..., 2, :]
-    s_int = bgather(grid.inten, slot_h)                     # (B, C, Bk)
-    s_c = _viewp(bgather(grid.cell, slot_h)).astype(jnp.int32)
+    s_c = _viewp(cell_tile)
     s_cx, s_cy, s_cz = s_c[..., 0, :], s_c[..., 1, :], s_c[..., 2, :]
-    s_vox = bgather(grid.vox, slot_h)                       # (B, C, Bk)
+    s_vox = vox_tile
     occ = s_cx != _EMPTY
 
     # --- dense merge (all algebra per coordinate plane: a materialized
@@ -545,6 +477,114 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     s_cz = jnp.where(wr_any, a_cz, s_cz)
     s_vox = jnp.where(wr_any, a_vox, s_vox)
 
+    merged_pb = jnp.sum(has_match & pvalid, axis=2)
+    appended_pb = jnp.sum(can_app, axis=2)
+    evicted_pb = jnp.sum(can_app & (chosen_prio >= 1e3), axis=2)
+    return (s_px, s_py, s_pz, s_int, s_cx, s_cy, s_cz, s_vox,
+            merged_pb, appended_pb, evicted_pb)
+
+
+def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
+             mask: jnp.ndarray, leaf: float, cell_size: float,
+             center: jnp.ndarray, window: jnp.ndarray,
+             point_cap: int = 16, touched_cap: int = 4096):
+    """Batched insert of one frame's voxel-downsampled stack per stream.
+
+    grid leaves (B, H, ·); pts (B, N, 3); center (B, 3) pose cell coords;
+    window (3,) half-extent in cells — entries outside center±window are
+    evictable first (the rolling-window discard, laserMapping.cpp:345-346).
+
+    Bucket-dedup dense design: points are sorted by bucket hash, every
+    *touched* bucket's tile is gathered ONCE, all its new points (≤
+    point_cap, voxel-downsample-bounded per cell) are merged/appended
+    against the 48 slots with dense one-hot algebra, and the finished tile
+    rows are scattered back — ~8x fewer gather/scatter rows than the
+    per-point form, and every row is wide (the layout rule in the module
+    docstring). Matching = same cell AND same voxel id; merge = midpoint
+    (iterated centroid). Appends fill slots in eviction-priority order:
+    empty < out-of-window (farthest first) < in-window (farthest first).
+
+    Returns (grid, merged (B,), appended (B,), evicted (B,), dropped (B,));
+    dropped counts every valid input point that neither merged nor
+    appended (bucket-slot pressure, point_cap or touched_cap spills).
+    """
+    from aloam_tpu.utils.batch import bgather
+    bsz, n = mask.shape
+    table_size = grid.vox.shape[1]
+    bucket_cap = grid.bucket_cap
+    cap_c, cap_p = touched_cap, point_cap
+
+    cell = _cells_of(pts, cell_size)                        # (B, N, 3)
+    vox = _vox_id(pts, leaf)
+    h = _hash(cell, table_size)
+    key = jnp.where(mask, h, table_size)
+
+    # one payload-carrying sort (no argsort + permutation gathers)
+    key_s, px_s, py_s, pz_s, pi_s, vox_s = jax.lax.sort(
+        (key, pts[..., 0], pts[..., 1], pts[..., 2], inten, vox),
+        dimension=1, num_keys=1, is_stable=True)
+    valid_s = key_s < table_size
+    pay_s = jnp.stack([px_s, py_s, pz_s, pi_s], axis=-1)    # (B, N, 4)
+
+    seg = valid_s & jnp.concatenate(
+        [jnp.ones((bsz, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
+    cid_s = jnp.cumsum(seg.astype(jnp.int32), axis=1) - 1   # (B, N)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (bsz, n), 1)
+    head = jax.lax.cummax(jnp.where(seg, iota_n, -1), axis=1)
+    rank = iota_n - head                                    # (B, N)
+    keep = valid_s & (cid_s >= 0) & (cid_s < cap_c) & (rank < cap_p)
+    cid_c = jnp.where(keep, cid_s, cap_c)
+
+    # --- dense per-bucket point lists (flat scalar scatters) --------------
+    coff = (jnp.arange(bsz, dtype=jnp.int32) * (cap_c + 1))[:, None]
+    brow = cid_c + coff                                     # (B, N)
+    flat_np = bsz * (cap_c + 1) * cap_p
+    # clamp rank inside the position formula: an unclamped dropped row's
+    # rank (up to N) would index into ANOTHER stream's bucket region
+    ppos = jnp.where(keep, brow * cap_p + jnp.minimum(rank, cap_p - 1),
+                     flat_np).reshape(-1)
+
+    def scat_f32(vals):
+        return jnp.zeros((flat_np,), jnp.float32).at[ppos].set(
+            vals.reshape(-1), mode="drop").reshape(
+                bsz, cap_c + 1, cap_p)[:, :cap_c]
+
+    ppx = scat_f32(jnp.where(keep, pay_s[..., 0], 0.0))
+    ppy = scat_f32(jnp.where(keep, pay_s[..., 1], 0.0))
+    ppz = scat_f32(jnp.where(keep, pay_s[..., 2], 0.0))
+    ppi = scat_f32(jnp.where(keep, pay_s[..., 3], 0.0))
+    pvox = jnp.zeros((flat_np,), jnp.int32).at[ppos].set(
+        vox_s.reshape(-1), mode="drop").reshape(
+            bsz, cap_c + 1, cap_p)[:, :cap_c]
+    cnt = jnp.zeros((bsz * (cap_c + 1),), jnp.int32).at[brow.reshape(-1)].add(
+        jnp.where(keep, 1, 0).reshape(-1), mode="drop").reshape(
+            bsz, cap_c + 1)[:, :cap_c]
+    slot_h = jnp.zeros((bsz * (cap_c + 1),), jnp.int32).at[
+        brow.reshape(-1)].set(key_s.reshape(-1), mode="drop").reshape(
+            bsz, cap_c + 1)[:, :cap_c]
+    used = cnt > 0                                          # (B, C)
+
+    # --- gather touched-bucket tiles (coordinate planes) ------------------
+    pts_tile = bgather(grid.pts, slot_h)                    # (B, C, 3Bk)
+    s_int = bgather(grid.inten, slot_h)                     # (B, C, Bk)
+    cell_tile = bgather(grid.cell, slot_h).astype(jnp.int32)
+    vox_tile = bgather(grid.vox, slot_h)                    # (B, C, Bk)
+
+    # --- dense merge + eviction-priority appends ---------------------------
+    # one shared contract, two implementations: the fused Pallas kernel on
+    # TPU (ops/pallas_insert.py — no (B,C,P,Bk) intermediates at all) and
+    # the one-hot einsum form elsewhere; interpret-mode tests pin them
+    # together bit-for-bit
+    if jax.default_backend() == "tpu":
+        from aloam_tpu.ops.pallas_insert import merge_tiles
+        merge_fn = merge_tiles
+    else:
+        merge_fn = _merge_dense_xla
+    (s_px, s_py, s_pz, s_int, s_cx, s_cy, s_cz, s_vox,
+     merged_pb, appended_pb, evicted_pb) = merge_fn(
+        pts_tile, s_int, cell_tile, vox_tile,
+        ppx, ppy, ppz, ppi, pvox, cnt, center, window, cell_size, leaf)
+
     # --- scatter finished tiles back (wide rows, used buckets only) -------
     hoff = (jnp.arange(bsz, dtype=jnp.int32) * table_size)[:, None]
     dest = jnp.where(used, slot_h + hoff, bsz * table_size)  # (B, C)
@@ -560,9 +600,9 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     new_vox = grid.vox.reshape(-1, bucket_cap).at[flat].set(
         s_vox.reshape(bsz * cap_c, bucket_cap), mode="drop")
 
-    merged = jnp.sum(has_match & pvalid, axis=(1, 2))
-    appended = jnp.sum(can_app, axis=(1, 2))
-    evicted = jnp.sum(can_app & (chosen_prio >= 1e3), axis=(1, 2))
+    merged = jnp.sum(merged_pb, axis=1)
+    appended = jnp.sum(appended_pb, axis=1)
+    evicted = jnp.sum(evicted_pb, axis=1)
     total_valid = jnp.sum(mask, axis=1)
     dropped = total_valid - merged - appended
 

@@ -261,6 +261,46 @@ def verify_pallas_kernels():
         assert np.allclose(out[both][:, :ncol], ref[both][:, :ncol],
                            atol=5e-3), f"compiled assoc_cell {kind} coords"
 
+    # --- pallas_insert.merge_tiles (fused map-insert merge/append) --------
+    from aloam_tpu.ops import gridmap as gm
+    from aloam_tpu.ops.pallas_insert import merge_tiles
+    bsz_i, cap_c, cap_p, bki = 2, 64, 16, 48
+    cs_i, leaf_i = 2.0, 0.4
+    ptsi = rng.uniform(-20, 20, size=(bsz_i, cap_c, 3, bki)).astype(
+        np.float32)
+    occ = rng.uniform(size=(bsz_i, cap_c, bki)) > 0.4
+    celli = np.where(occ[:, :, None, :],
+                     np.floor(ptsi / cs_i).astype(np.int32), gm._EMPTY)
+    voxi = np.floor(ptsi / leaf_i).astype(np.int32)
+    voxi = ((voxi[:, :, 0] * 73856093) ^ (voxi[:, :, 1] * 19349663)
+            ^ (voxi[:, :, 2] * 83492791))
+    ptsi = np.where(occ[:, :, None, :], ptsi, 1e9).astype(np.float32)
+    inti = rng.uniform(0, 1, size=(bsz_i, cap_c, bki)).astype(np.float32)
+    ppl = [rng.uniform(-20, 20, size=(bsz_i, cap_c, cap_p)).astype(
+        np.float32) for _ in range(3)]
+    ppi_ = rng.uniform(0, 1, size=(bsz_i, cap_c, cap_p)).astype(np.float32)
+    pvoxi = ((np.floor(ppl[0] / leaf_i).astype(np.int32) * 73856093)
+             ^ (np.floor(ppl[1] / leaf_i).astype(np.int32) * 19349663)
+             ^ (np.floor(ppl[2] / leaf_i).astype(np.int32) * 83492791))
+    copy = rng.uniform(size=(bsz_i, cap_c, cap_p)) < 0.3
+    which = rng.integers(0, bki, size=(bsz_i, cap_c, cap_p))
+    pvoxi = np.where(copy, np.take_along_axis(voxi, which, axis=2), pvoxi)
+    cnti = rng.integers(0, cap_p + 4, size=(bsz_i, cap_c)).astype(np.int32)
+    centeri = rng.integers(-4, 4, size=(bsz_i, 3)).astype(np.int32)
+    windowi = np.array([5, 5, 3], np.int32)
+    argsi = [jnp.asarray(a) for a in (
+        ptsi.reshape(bsz_i, cap_c, 3 * bki), inti,
+        celli.reshape(bsz_i, cap_c, 3 * bki), voxi,
+        ppl[0], ppl[1], ppl[2], ppi_, pvoxi, cnti, centeri, windowi)]
+    ref_m = gm._merge_dense_xla(*argsi, cs_i, leaf_i)
+    out_m = merge_tiles(*argsi, cs_i, leaf_i)
+    for nm, a, b in zip(["px", "py", "pz", "int", "cx", "cy", "cz", "vox",
+                         "merged", "appended", "evicted"], ref_m, out_m):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 0 if a.dtype.kind == "i" else 1e-5
+        assert np.allclose(a, b, atol=tol), \
+            f"compiled merge_tiles {nm} mismatch"
+
     # --- pallas_odom.window_mins -----------------------------------------
     from aloam_tpu.ops.pallas_odom import window_mins
     bsz, qn, m = 2, 256, 2048

@@ -443,3 +443,54 @@ def test_pallas_assoc_cell_matches_xla(rng):
         # ordering amplified through the normalizations
         np.testing.assert_allclose(out[live][:, :ncol], ref[live][:, :ncol],
                                    atol=5e-4)
+
+
+def test_pallas_insert_merge_matches_xla(rng):
+    """The fused insert merge/append kernel (interpret mode on CPU) must
+    reproduce gridmap._merge_dense_xla bit-for-bit: same last-match-wins
+    midpoints, same eviction-priority slot choices (incl. ties), same
+    merged/appended/evicted counters."""
+    from aloam_tpu.ops.pallas_insert import merge_tiles
+
+    bsz, cap_c, cap_p, bk = 2, 40, 16, 48
+    cell_size, leaf = 2.0, 0.4
+
+    # occupied slots with realistic cells; ~40% empty
+    pts = rng.uniform(-20, 20, size=(bsz, cap_c, 3, bk)).astype(np.float32)
+    occ = rng.uniform(size=(bsz, cap_c, bk)) > 0.4
+    cell = np.floor(pts / cell_size).astype(np.int32)
+    cell = np.where(occ[:, :, None, :], cell, gridmap._EMPTY)
+    vox = np.floor(pts / leaf).astype(np.int32)
+    vox = ((vox[:, :, 0] * 73856093) ^ (vox[:, :, 1] * 19349663)
+           ^ (vox[:, :, 2] * 83492791))
+    pts = np.where(occ[:, :, None, :], pts, 1e9).astype(np.float32)
+    inten = rng.uniform(0, 1, size=(bsz, cap_c, bk)).astype(np.float32)
+
+    # per-bucket point lists: some points share a slot's voxel id
+    # (merges), some are fresh (appends); high cnt forces eviction
+    ppx = rng.uniform(-20, 20, size=(bsz, cap_c, cap_p)).astype(np.float32)
+    ppy = rng.uniform(-20, 20, size=(bsz, cap_c, cap_p)).astype(np.float32)
+    ppz = rng.uniform(-20, 20, size=(bsz, cap_c, cap_p)).astype(np.float32)
+    ppi = rng.uniform(0, 1, size=(bsz, cap_c, cap_p)).astype(np.float32)
+    pvox = ((np.floor(ppx / leaf).astype(np.int32) * 73856093)
+            ^ (np.floor(ppy / leaf).astype(np.int32) * 19349663)
+            ^ (np.floor(ppz / leaf).astype(np.int32) * 83492791))
+    # force merges: ~30% of points copy a random slot's voxel id
+    copy = rng.uniform(size=(bsz, cap_c, cap_p)) < 0.3
+    which = rng.integers(0, bk, size=(bsz, cap_c, cap_p))
+    pvox = np.where(copy, np.take_along_axis(vox, which, axis=2), pvox)
+    cnt = rng.integers(0, cap_p + 4, size=(bsz, cap_c)).astype(np.int32)
+    center = rng.integers(-4, 4, size=(bsz, 3)).astype(np.int32)
+    window = np.array([5, 5, 3], np.int32)
+
+    args = [jnp.asarray(a) for a in (
+        pts.transpose(0, 1, 2, 3).reshape(bsz, cap_c, 3 * bk),
+        inten, cell.reshape(bsz, cap_c, 3 * bk), vox,
+        ppx, ppy, ppz, ppi, pvox, cnt, center, window)]
+    ref = gridmap._merge_dense_xla(*args, cell_size, leaf)
+    out = merge_tiles(*args, cell_size, leaf, interpret=True)
+    names = ["px", "py", "pz", "int", "cx", "cy", "cz", "vox",
+             "merged", "appended", "evicted"]
+    for nm, a, b in zip(names, ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)

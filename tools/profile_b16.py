@@ -181,6 +181,39 @@ def main():
         (e, p), qq, tt, cfg.map_lm_iters, cfg.huber_delta)))
     res["map_lm"] = timeit(lm_b, [(e, p, q, t) for e, p, q, t in assocs])
 
+    # fused sorted association (round-3 kernel path): cache build w/ payload
+    # sort + one assoc round per class
+    import aloam_tpu.geometry as geo
+
+    def build_fused(ms, o, c_ds, c_m, s_ds, s_m):
+        q_w = geo.qmul(ms.q_wmap_wodom, o.q_w)
+        t_w = geo.qrot(ms.q_wmap_wodom, o.t_w) + ms.t_wmap_wodom
+
+        def build(grid_s, stack, inten, m):
+            sel0 = geo.qrot(q_w[:, None, :], stack) + t_w[:, None, :]
+            cache, (sx, sy, sz, it, mi) = gridmap.knn_cache_b(
+                grid_s, sel0, cfg.knn_cell, cfg.knn_radius,
+                cfg.map_cell_cap,
+                payloads=(stack[..., 0], stack[..., 1], stack[..., 2],
+                          inten, m.astype(jnp.int32)))
+            return cache, jnp.stack([sx, sy, sz], -1), mi > 0
+
+        cc, cst, cm = build(ms.corner, c_ds[..., :3], c_ds[..., 3], c_m)
+        sc_, sst, sm = build(ms.surf, s_ds[..., :3], s_ds[..., 3], s_m)
+        return cc, cst, cm, sc_, sst, sm, q_w, t_w
+
+    build_j = jax.jit(build_fused)
+    b_in = [(s.map, o, st[0], st[1], st[2], st[3])
+            for s, o, st in zip(states, odoms, stk)]
+    res["map_cache_fused_both"] = timeit(build_j, b_in)
+    built = [jax.block_until_ready(build_j(*i)) for i in b_in]
+
+    def assoc_fused(cc, cst, cm, sc_, sst, sm, q_w, t_w):
+        c8 = mp._assoc_out8_b(cst, ~cm, cc, q_w, t_w, cfg, "corner")
+        s8 = mp._assoc_out8_b(sst, ~sm, sc_, q_w, t_w, cfg, "surf")
+        return c8, s8
+    res["map_assoc_fused_round"] = timeit(jax.jit(assoc_fused), built)
+
     # insert path: prep voxel + insert_b
     def ins(ms, c_ds, c_m, s_ds, s_m, q_w, t_w):
         import aloam_tpu.geometry as geo
@@ -222,6 +255,15 @@ def main():
     res["map_insert_surf_only"] = timeit(
         ins2_j, [(s.map, st[2][..., :3], st[2][..., 3], st[3], a[3])
                  for s, st, a in zip(states, stk, assocs)])
+
+    # count_near gate (two full-table masked passes per frame)
+    def count_gate(ms, t_w):
+        local = mp._local_cells(cfg)
+        pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+        return (gridmap.count_near_b(ms.corner, pose_cell, local),
+                gridmap.count_near_b(ms.surf, pose_cell, local))
+    res["map_count_near"] = timeit(
+        jax.jit(count_gate), [(s.map, a[3]) for s, a in zip(states, assocs)])
 
     print(json.dumps({k: round(v, 2) for k, v in res.items()}))
 
