@@ -158,7 +158,8 @@ def _select_labels(pts, curv, cnt, cfg: AloamConfig):
     idx = jnp.arange(c, dtype=jnp.int32)[None, :]
     in_any = ring_ok[:, None] & (idx >= 5) & (idx <= ep[:, -1:]) \
         & (idx < cnt[:, None])
-    if jax.default_backend() != "tpu":
+    from aloam_tpu.ops.pallas_gate import use_pallas
+    if not use_pallas("select"):
         label, _, _ = _select_rings(pts, curv, cnt, cfg)
         return label, in_any
     from aloam_tpu.ops.pallas_select import select_rings

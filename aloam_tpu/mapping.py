@@ -223,10 +223,11 @@ def _assoc_out8_b(stack_s, poison, cache: gridmap.KnnCache, q, t,
     (interpret-mode tests + the bench's on-chip assertion pin the two
     paths together)."""
     from aloam_tpu.ops import pallas_assoc
+    from aloam_tpu.ops.pallas_gate import use_pallas
     sel = geo.qrot(q[:, None, :], stack_s) + t[:, None, :]
     kw = dict(plane_tol=cfg.map_plane_tol, eigen_ratio=cfg.map_eigen_ratio,
               half_len=cfg.map_edge_half_len)
-    if jax.default_backend() == "tpu":
+    if use_pallas("assoc"):
         bsz, q_n = sel.shape[:2]
         tq = gridmap.ASSOC_TQ
         crows = cache.cand_flat.shape[1]        # cell_cap + ASSOC_TQ

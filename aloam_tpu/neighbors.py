@@ -173,7 +173,8 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
     elsewhere the chunk matmul is a batched MXU contraction and the ring
     gather is one flat op."""
     from aloam_tpu.utils.batch import bgather
-    if jax.default_backend() == "tpu":
+    from aloam_tpu.ops.pallas_gate import use_pallas
+    if use_pallas("odom"):
         from aloam_tpu.ops.pallas_odom import window_mins
         big = jnp.float32(1e9)
         ref_p = jnp.concatenate(

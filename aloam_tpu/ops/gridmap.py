@@ -298,7 +298,8 @@ def knn_from_cache_b(cache: KnnCache, query: jnp.ndarray, k: int,
     n_cand = cand_flat.shape[-1] // 3
 
     # --- chunked dense distance + k-pass selection ------------------------
-    use_pallas = jax.default_backend() == "tpu"
+    from aloam_tpu.ops.pallas_gate import use_pallas as _up
+    use_pallas = _up("knn")
 
     def chunk_knn(q_chunk, cid_chunk):
         # one wide gather per query: its cell's full candidate block
@@ -575,7 +576,8 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     # TPU (ops/pallas_insert.py — no (B,C,P,Bk) intermediates at all) and
     # the one-hot einsum form elsewhere; interpret-mode tests pin them
     # together bit-for-bit
-    if jax.default_backend() == "tpu":
+    from aloam_tpu.ops.pallas_gate import use_pallas
+    if use_pallas("insert"):
         from aloam_tpu.ops.pallas_insert import merge_tiles
         merge_fn = merge_tiles
     else:

@@ -315,7 +315,7 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tq, 8), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tq, OUT_W), lambda i, c: (i, 0),
                                memory_space=pltpu.VMEM),

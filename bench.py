@@ -216,6 +216,18 @@ def verify_pallas_kernels():
         d2[np.arange(n), am] = np.inf
 
     # --- pallas_assoc.assoc_cell (fused mapping association) --------------
+    # compile failures (a Mosaic lowering gap on this chip/toolchain) fall
+    # back to the XLA twin — honestly reported via "pallas_disabled" — but
+    # an output MISMATCH of a compiled kernel still refuses the whole run
+    disabled = []
+
+    def _disable(name, err):
+        if isinstance(err, AssertionError):
+            raise err
+        cur = os.environ.get("ALOAM_DISABLE_PALLAS", "")
+        os.environ["ALOAM_DISABLE_PALLAS"] = f"{cur},{name}" if cur else name
+        disabled.append(name)
+
     from aloam_tpu.ops.pallas_assoc import assoc_cell, assoc_xla
     tq, bwa = 256, 48
     wa = 8 * bwa
@@ -246,20 +258,24 @@ def verify_pallas_kernels():
         d2a[np.arange(nq), am] = np.inf
     d2k = np.stack(dsl, -1)
     near = np.stack(nbl, -2)
-    for kind, okc, ncol in (("surf", 4, 4), ("corner", 6, 6)):
-        ref = np.asarray(assoc_xla(jnp.asarray(d2k), jnp.asarray(near),
-                                   1.0, kind))
-        out = np.asarray(assoc_cell(
-            jnp.asarray(cand_flat), jnp.asarray(cid0), jnp.asarray(q8),
-            kind, 1.0, tq=tq, bw=bwa))
-        # ok flags may flip only on threshold-knife-edge rows (compiled
-        # f32 scalar chain vs einsum); coords must agree on shared-ok rows
-        agree = np.mean(ref[:, okc] == out[:, okc])
-        assert agree > 0.995, f"compiled assoc_cell {kind} ok flags {agree}"
-        both = (ref[:, okc] > 0) & (out[:, okc] > 0)
-        assert both.sum() > 20, f"assoc_cell {kind} fit path unexercised"
-        assert np.allclose(out[both][:, :ncol], ref[both][:, :ncol],
-                           atol=5e-3), f"compiled assoc_cell {kind} coords"
+    try:
+        for kind, okc, ncol in (("surf", 4, 4), ("corner", 6, 6)):
+            ref = np.asarray(assoc_xla(jnp.asarray(d2k), jnp.asarray(near),
+                                       1.0, kind))
+            out = np.asarray(assoc_cell(
+                jnp.asarray(cand_flat), jnp.asarray(cid0), jnp.asarray(q8),
+                kind, 1.0, tq=tq, bw=bwa))
+            # ok flags may flip only on threshold-knife-edge rows (compiled
+            # f32 scalar chain vs einsum); coords must agree on shared-ok rows
+            agree = np.mean(ref[:, okc] == out[:, okc])
+            assert agree > 0.995, \
+                f"compiled assoc_cell {kind} ok flags {agree}"
+            both = (ref[:, okc] > 0) & (out[:, okc] > 0)
+            assert both.sum() > 20, f"assoc_cell {kind} fit path unexercised"
+            assert np.allclose(out[both][:, :ncol], ref[both][:, :ncol],
+                               atol=5e-3), f"compiled assoc_cell {kind} coords"
+    except Exception as e:  # noqa: BLE001 — AssertionError re-raised
+        _disable("assoc", e)
 
     # --- pallas_insert.merge_tiles (fused map-insert merge/append) --------
     from aloam_tpu.ops import gridmap as gm
@@ -292,14 +308,18 @@ def verify_pallas_kernels():
         ptsi.reshape(bsz_i, cap_c, 3 * bki), inti,
         celli.reshape(bsz_i, cap_c, 3 * bki), voxi,
         ppl[0], ppl[1], ppl[2], ppi_, pvoxi, cnti, centeri, windowi)]
-    ref_m = gm._merge_dense_xla(*argsi, cs_i, leaf_i)
-    out_m = merge_tiles(*argsi, cs_i, leaf_i)
-    for nm, a, b in zip(["px", "py", "pz", "int", "cx", "cy", "cz", "vox",
-                         "merged", "appended", "evicted"], ref_m, out_m):
-        a, b = np.asarray(a), np.asarray(b)
-        tol = 0 if a.dtype.kind == "i" else 1e-5
-        assert np.allclose(a, b, atol=tol), \
-            f"compiled merge_tiles {nm} mismatch"
+    try:
+        ref_m = gm._merge_dense_xla(*argsi, cs_i, leaf_i)
+        out_m = merge_tiles(*argsi, cs_i, leaf_i)
+        for nm, a, b in zip(["px", "py", "pz", "int", "cx", "cy", "cz",
+                             "vox", "merged", "appended", "evicted"],
+                            ref_m, out_m):
+            a, b = np.asarray(a), np.asarray(b)
+            tol = 0 if a.dtype.kind == "i" else 1e-5
+            assert np.allclose(a, b, atol=tol), \
+                f"compiled merge_tiles {nm} mismatch"
+    except Exception as e:  # noqa: BLE001 — AssertionError re-raised
+        _disable("insert", e)
 
     # --- pallas_odom.window_mins -----------------------------------------
     from aloam_tpu.ops.pallas_odom import window_mins
@@ -331,14 +351,16 @@ def verify_pallas_kernels():
     assert np.allclose(np.asarray(pal[2]), np.min(d2_diff, axis=2),
                        rtol=1e-3, atol=1e-3), \
         "compiled window_mins d2_diff mismatch"
+    return disabled
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     cfg = PRESETS["HDL-64"]
 
+    pallas_disabled = []
     if jax.default_backend() == "tpu":
-        verify_pallas_kernels()
+        pallas_disabled = verify_pallas_kernels()
 
     n_single = int(os.environ.get("BENCH_FRAMES", "16"))
     ms_single, ate_single = bench_single(cfg, n_single)
@@ -373,6 +395,8 @@ def main():
         result.update(value=round(1.0 / ms_single, 2), batch=0)
 
     result["vs_baseline"] = round(result["value"] / 10.0, 2)
+    if pallas_disabled:
+        result["pallas_disabled"] = pallas_disabled
     result["vs_target"] = round(result["value"] / 500.0, 3)
 
     if os.environ.get("BENCH_STAGES"):
