@@ -180,17 +180,6 @@ def _accumulate(factors: Sequence, q, t, delta: float):
     return h, g, cost, n_active
 
 
-def _cost_only(factors: Sequence, q, t, delta: float):
-    cost = jnp.float32(0.0)
-    for f in factors:
-        r, _ = _RESIDUAL_FNS[type(f)](f, q, t)
-        r = jnp.where(f.mask[:, None], r, 0.0)
-        s = jnp.sum(r * r, axis=-1)
-        cost = cost + 0.5 * jnp.sum(huber_cost(s, delta)
-                                    * f.mask.astype(jnp.float32))
-    return cost
-
-
 class SolveStats(NamedTuple):
     cost0: jnp.ndarray
     cost: jnp.ndarray
@@ -225,8 +214,13 @@ def lm_solve(factors: Sequence, q0, t0, n_iters: int,
     """
 
     def body(_, st):
-        q, t, lam, _, n_clamp, n_nan = st
-        h, g, cost, _ = _accumulate(factors, q, t, huber_delta)
+        # H/g/cost at the CURRENT pose are carried from the iteration that
+        # accepted it (or from the init evaluation): one factor sweep per
+        # iteration instead of accumulate + cost_only — the sweep over all
+        # factor rows is the LM iteration's dominant cost at SLAM sizes.
+        # After a rejected step the pose is unchanged, so the carried
+        # H/g/cost are exactly what re-evaluation would produce.
+        q, t, lam, cost, h, g, n_clamp, n_nan = st
         # Marquardt damping on the diagonal + floor for empty problems
         diag = jnp.diag(jnp.diagonal(h)) + 1e-8 * jnp.eye(6)
         delta = jnp.linalg.solve(h + lam * diag, -g)
@@ -241,20 +235,24 @@ def lm_solve(factors: Sequence, q0, t0, n_iters: int,
         delta = jnp.concatenate([delta[:3] * sc_th, delta[3:] * sc_tr])
         q_new = geo.retract(q, delta[:3])
         t_new = t + delta[3:]
-        cost_new = _cost_only(factors, q_new, t_new, huber_delta)
+        h_new, g_new, cost_new, _ = _accumulate(factors, q_new, t_new,
+                                                huber_delta)
         accept = finite & (cost_new < cost)
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
+        h = jnp.where(accept, h_new, h)
+        g = jnp.where(accept, g_new, g)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
                         jnp.minimum(lam * 10.0, 1e4))
-        return (q, t, lam, jnp.where(accept, cost_new, cost),
+        return (q, t, lam, jnp.where(accept, cost_new, cost), h, g,
                 n_clamp + hit_clamp.astype(jnp.int32),
                 n_nan + (~finite).astype(jnp.int32))
 
-    _, _, cost0, n_factors = _accumulate(factors, q0, t0, huber_delta)
-    q, t, _, cost, n_clamp, n_nan = jax.lax.fori_loop(
+    h0, g0, cost0, n_factors = _accumulate(factors, q0, t0, huber_delta)
+    q, t, _, cost, _, _, n_clamp, n_nan = jax.lax.fori_loop(
         0, n_iters, body,
-        (q0, t0, jnp.float32(lambda0), cost0, jnp.int32(0), jnp.int32(0)))
+        (q0, t0, jnp.float32(lambda0), cost0, h0, g0,
+         jnp.int32(0), jnp.int32(0)))
     # belt-and-braces: a non-finite pose (cannot happen with the guards
     # above, but cheap) falls back to the prior
     pose_ok = jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(t))
