@@ -221,17 +221,19 @@ def verify_pallas_kernels():
         d2[np.arange(n), am] = np.inf
 
     # --- pallas_assoc.assoc_cell (fused mapping association) --------------
-    # compile failures (a Mosaic lowering gap on this chip/toolchain) fall
-    # back to the XLA twin — honestly reported via "pallas_disabled" — but
-    # an output MISMATCH of a compiled kernel still refuses the whole run
+    # Round-3 kernels (assoc/insert) get their first-ever on-chip compile
+    # here: a Mosaic compile failure OR a compiled-output mismatch disables
+    # that kernel — the reported numbers then come from its XLA twin, so
+    # they are never kernel-tainted — and the event is recorded in the
+    # JSON ("pallas_disabled": ["assoc: <err>"]), never silent. The
+    # kernels proven on-chip in earlier rounds (knn/odom/select) still
+    # hard-fail the whole run on mismatch.
     disabled = []
 
     def _disable(name, err):
-        if isinstance(err, AssertionError):
-            raise err
         cur = os.environ.get("ALOAM_DISABLE_PALLAS", "")
         os.environ["ALOAM_DISABLE_PALLAS"] = f"{cur},{name}" if cur else name
-        disabled.append(name)
+        disabled.append(f"{name}: {type(err).__name__}: {str(err)[:120]}")
 
     from aloam_tpu.ops.pallas_assoc import assoc_cell, assoc_xla
     tq, bwa = 256, 48
