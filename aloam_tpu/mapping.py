@@ -28,7 +28,6 @@ from aloam_tpu import geometry as geo
 from aloam_tpu import solver
 from aloam_tpu.config import AloamConfig
 from aloam_tpu.ops import gridmap
-from aloam_tpu.ops.linalg3 import eigh3, solve3
 from aloam_tpu.types import PointCloud
 from aloam_tpu.frontend.voxel import voxel_downsample_masked
 
@@ -85,134 +84,95 @@ def _local_cells(cfg: AloamConfig) -> jnp.ndarray:
     return jnp.asarray(np.ceil(half / cfg.knn_cell), jnp.int32)
 
 
+def _assoc_kw(cfg: AloamConfig) -> dict:
+    return dict(plane_tol=cfg.map_plane_tol, eigen_ratio=cfg.map_eigen_ratio,
+                half_len=cfg.map_edge_half_len)
+
+
+def _factors_of(out8, stack_xyz, kind: str):
+    """Unpack ops/pallas_assoc.py's packed (…, 8) factor columns."""
+    if kind == "corner":
+        return solver.EdgeFactors(p=stack_xyz, a=out8[..., 0:3],
+                                  b=out8[..., 3:6], mask=out8[..., 6] > 0)
+    return solver.PlaneFactors(p=stack_xyz, n=out8[..., 0:3],
+                               d=out8[..., 3], mask=out8[..., 4] > 0)
+
+
 def corner_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
                         q, t, cfg: AloamConfig) -> solver.EdgeFactors:
     """Map-frame edge factors via gated 5-NN PCA (laserMapping.cpp:577-640):
     if λ₂ > 3λ₁ the neighborhood is a line; emit virtual points at
-    centroid ± 0.1·direction."""
+    centroid ± 0.1·direction. The fit itself lives in
+    ops/pallas_assoc.assoc_xla — ONE implementation shared by every
+    association path (single, batched-XLA; the fused TPU kernel is its
+    interpret-pinned twin)."""
+    from aloam_tpu.ops import pallas_assoc
     sel = geo.qrot(q, stack_xyz) + t
     d2, near = gridmap.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
                            cfg.map_query_chunk)
-    gate = stack_mask & (d2[:, 4] < cfg.map_knn_gate_sq)
-    # gate-failing rows may carry the far-sentinel pad: zero them so the
-    # (masked) fit arithmetic below cannot overflow into NaNs
-    near = jnp.where(gate[:, None, None], near, 0.0)
-
-    center = jnp.mean(near, axis=1)
-    diff = near - center[:, None, :]
-    cov = jnp.einsum("nki,nkj->nij", diff, diff,
-                     precision=jax.lax.Precision.HIGHEST)
-    vals, direction = eigh3(cov)
-    is_line = vals[:, 2] > cfg.map_eigen_ratio * vals[:, 1]
-
-    a = center + cfg.map_edge_half_len * direction
-    b = center - cfg.map_edge_half_len * direction
-    return solver.EdgeFactors(p=stack_xyz, a=a, b=b,
-                              mask=gate & is_line)
+    # masked-out rows: poison d2 so the shared fit gates (and zeroes) them
+    d2 = jnp.where(stack_mask[:, None], d2, jnp.inf)
+    out8 = pallas_assoc.assoc_xla(d2, near, cfg.map_knn_gate_sq, "corner",
+                                  **_assoc_kw(cfg))
+    return _factors_of(out8, stack_xyz, "corner")
 
 
 def surf_associations(stack_xyz, stack_mask, grid: gridmap.GridMap,
                       q, t, cfg: AloamConfig) -> solver.PlaneFactors:
     """Map-frame plane factors via gated 5-NN LSQ plane fit
-    (laserMapping.cpp:642-705): solve A·n = -1, normalize, keep the plane iff
-    every neighbor is within 0.2 m."""
+    (laserMapping.cpp:642-705): solve A·n = -1, normalize, keep the plane
+    iff every neighbor is within 0.2 m. Shared fit: see
+    corner_associations."""
+    from aloam_tpu.ops import pallas_assoc
     sel = geo.qrot(q, stack_xyz) + t
     d2, near = gridmap.knn(grid, sel, 5, cfg.knn_cell, cfg.knn_radius,
                            cfg.map_query_chunk)
-    gate = stack_mask & (d2[:, 4] < cfg.map_knn_gate_sq)
-    # gate-failing rows may carry the far-sentinel pad: zero them so the
-    # (masked) fit arithmetic below cannot overflow into NaNs
-    near = jnp.where(gate[:, None, None], near, 0.0)
+    d2 = jnp.where(stack_mask[:, None], d2, jnp.inf)
+    out8 = pallas_assoc.assoc_xla(d2, near, cfg.map_knn_gate_sq, "surf",
+                                  **_assoc_kw(cfg))
+    return _factors_of(out8, stack_xyz, "surf")
 
-    # least squares A n = -1 via 3x3 normal equations; the Gram matrix is
-    # accumulated on centered coordinates for f32 conditioning:
-    # A^T A = sum_k p_k p_k^T = (centered Gram) + 5 c c^T since sum a_c = 0
-    c = jnp.mean(near, axis=1)
-    a_c = near - c[:, None, :]
-    gram = jnp.einsum("nki,nkj->nij", a_c, a_c,
-                      precision=jax.lax.Precision.HIGHEST)
-    ata_full = gram + 5.0 * c[:, :, None] * c[:, None, :]
-    atb = -jnp.sum(near, axis=1)
-    n = solve3(ata_full, atb, reg=1e-9)
-    n_norm = jnp.linalg.norm(n, axis=-1)
-    neg_oa = 1.0 / jnp.maximum(n_norm, 1e-12)
-    n_hat = n * neg_oa[:, None]
 
-    # plane quality: |n̂·p + d| <= 0.2 for all 5 neighbors (:669-679)
-    res = jnp.abs(jnp.einsum("nki,ni->nk", near, n_hat,
-                             precision=jax.lax.Precision.HIGHEST)
-                  + neg_oa[:, None])
-    plane_ok = jnp.all(res <= cfg.map_plane_tol, axis=1)
-    return solver.PlaneFactors(p=stack_xyz, n=n_hat, d=neg_oa,
-                               mask=gate & plane_ok)
+def _associations_b(stack_xyz, stack_mask, grid, q, t,
+                    cfg: AloamConfig, kind: str, cache=None):
+    """Batched associations over input-ordered stacks (the pre-round-3
+    interface, kept for the single-call API and A/B profiling; the
+    pipeline's hot path is _assoc_out8_b over cell-sorted stacks).
+    Returns (factors, n_spilled, cache); see KnnCache for the reuse
+    contract. Masked-out queries ride the spill slot (+inf d2 -> gated,
+    zero-fit), identical to the shared fit's poison semantics."""
+    from aloam_tpu.ops import pallas_assoc
+    sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
+    if cache is None:
+        cache = gridmap.knn_cache_b(grid, sel, cfg.knn_cell,
+                                    cfg.knn_radius, cfg.map_cell_cap)
+    cid_p = jnp.where(stack_mask, cache.cid, cache.cell_cap)
+    d2, near, spilled = gridmap.knn_from_cache_b(
+        cache._replace(cid=cid_p), sel, 5, cfg.map_query_chunk)
+    out8 = pallas_assoc.assoc_xla(d2, near, cfg.map_knn_gate_sq, kind,
+                                  **_assoc_kw(cfg))
+    return _factors_of(out8, stack_xyz, kind), spilled, cache
 
 
 def corner_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
                           q, t, cfg: AloamConfig, cache=None):
-    """Batched corner_associations: stack (B,N,3), grid leaves (B,H,·),
-    q (B,4), t (B,3). Returns (EdgeFactors, n_spilled, cache) — queries
-    beyond knn_b's cell capacity are gated out and counted, never silent.
-    Pass the returned cache back for later solver rounds: the candidate
-    blocks are pose-stable at sub-cell round deltas (gridmap.KnnCache)."""
-    sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
-    if cache is None:
-        cache = gridmap.knn_cache_b(grid, sel, cfg.knn_cell,
-                                    cfg.knn_radius, cfg.map_cell_cap)
-    d2, near, spilled = gridmap.knn_from_cache_b(cache, sel, 5,
-                                                 cfg.map_query_chunk)
-    gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
-    near = jnp.where(gate[..., None, None], near, 0.0)
-
-    center = jnp.mean(near, axis=-2)
-    diff = near - center[..., None, :]
-    cov = jnp.einsum("...ki,...kj->...ij", diff, diff,
-                     precision=jax.lax.Precision.HIGHEST)
-    vals, direction = eigh3(cov)
-    is_line = vals[..., 2] > cfg.map_eigen_ratio * vals[..., 1]
-
-    a = center + cfg.map_edge_half_len * direction
-    b = center - cfg.map_edge_half_len * direction
-    return solver.EdgeFactors(p=stack_xyz, a=a, b=b,
-                              mask=gate & is_line), spilled, cache
+    """Batched corner_associations (shared fit: see corner_associations)."""
+    return _associations_b(stack_xyz, stack_mask, grid, q, t, cfg,
+                           "corner", cache)
 
 
 def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
                         q, t, cfg: AloamConfig, cache=None):
-    """Batched surf_associations. Returns (PlaneFactors, n_spilled, cache);
-    see corner_associations_b for the cache-reuse contract."""
-    sel = geo.qrot(q[:, None, :], stack_xyz) + t[:, None, :]
-    if cache is None:
-        cache = gridmap.knn_cache_b(grid, sel, cfg.knn_cell,
-                                    cfg.knn_radius, cfg.map_cell_cap)
-    d2, near, spilled = gridmap.knn_from_cache_b(cache, sel, 5,
-                                                 cfg.map_query_chunk)
-    gate = stack_mask & (d2[..., 4] < cfg.map_knn_gate_sq)
-    near = jnp.where(gate[..., None, None], near, 0.0)
-
-    c = jnp.mean(near, axis=-2)
-    a_c = near - c[..., None, :]
-    gram = jnp.einsum("...ki,...kj->...ij", a_c, a_c,
-                      precision=jax.lax.Precision.HIGHEST)
-    ata_full = gram + 5.0 * c[..., :, None] * c[..., None, :]
-    atb = -jnp.sum(near, axis=-2)
-    n = solve3(ata_full, atb, reg=1e-9)
-    n_norm = jnp.linalg.norm(n, axis=-1)
-    neg_oa = 1.0 / jnp.maximum(n_norm, 1e-12)
-    n_hat = n * neg_oa[..., None]
-
-    res = jnp.abs(jnp.einsum("...ki,...i->...k", near, n_hat,
-                             precision=jax.lax.Precision.HIGHEST)
-                  + neg_oa[..., None])
-    plane_ok = jnp.all(res <= cfg.map_plane_tol, axis=-1)
-    return solver.PlaneFactors(p=stack_xyz, n=n_hat, d=neg_oa,
-                               mask=gate & plane_ok), spilled, cache
+    """Batched surf_associations (shared fit: see corner_associations)."""
+    return _associations_b(stack_xyz, stack_mask, grid, q, t, cfg,
+                           "surf", cache)
 
 
-def _assoc_out8_b(stack_s, poison, cache: gridmap.KnnCache, q, t,
+def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
                   cfg: AloamConfig, kind: str):
     """One fused association round over CELL-SORTED queries.
 
-    stack_s (B, Q, 3) sensor-frame stack in the cache's sorted order;
+    sel (B, Q, 3) world-frame queries in the cache's sorted order;
     poison (B, Q) True masks a query out (gate forced shut — identical to
     the XLA path's zeroed-neighbor semantics). Returns the packed (B, Q, 8)
     factor columns of ops/pallas_assoc.py.
@@ -224,9 +184,12 @@ def _assoc_out8_b(stack_s, poison, cache: gridmap.KnnCache, q, t,
     paths together)."""
     from aloam_tpu.ops import pallas_assoc
     from aloam_tpu.ops.pallas_gate import use_pallas
-    sel = geo.qrot(q[:, None, :], stack_s) + t[:, None, :]
-    kw = dict(plane_tol=cfg.map_plane_tol, eigen_ratio=cfg.map_eigen_ratio,
-              half_len=cfg.map_edge_half_len)
+    kw = _assoc_kw(cfg)
+    # spilled queries sit at the spill/pad slot, whose rows hold cell
+    # (0,0,0)'s REAL bucket block — poison them (the +inf-d2 routing the
+    # XLA path applies internally), or an origin-adjacent spilled query
+    # would emit factors from the wrong cell neighborhood
+    poison = poison | (cache.cid_sorted >= cache.cell_cap)
     if use_pallas("assoc"):
         bsz, q_n = sel.shape[:2]
         tq = gridmap.ASSOC_TQ
@@ -337,14 +300,16 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
             s_cache, surf_stack, s_int, s_ds_mask = build_cache(
                 state.surf, surf_stack, s_int, s_ds_mask, q_w, t_w)
             spills = spills + c_cache.n_spilled + s_cache.n_spilled
+        # one world-frame rotation per class per round, shared by the
+        # cache_crossed diagnostic and the association itself
+        sel_c = geo.qrot(q_w[:, None, :], corner_stack) + t_w[:, None, :]
+        sel_s = geo.qrot(q_w[:, None, :], surf_stack) + t_w[:, None, :]
         # quantify the cache-reuse deviation (see MapMetrics.cache_crossed):
         # a query participates in the deviation iff its shifted base cell
         # moved between rounds — count those, elementwise, no gathers
         # (only meaningful while the stack order is round-stable, i.e.
         # when the cache is reused)
         if cfg.map_cache_reuse:
-            sel_c = geo.qrot(q_w[:, None, :], corner_stack) + t_w[:, None, :]
-            sel_s = geo.qrot(q_w[:, None, :], surf_stack) + t_w[:, None, :]
             cc = gridmap._cells_of(sel_c - cfg.knn_radius, cfg.knn_cell)
             sc = gridmap._cells_of(sel_s - cfg.knn_radius, cfg.knn_cell)
             if rnd == 0:
@@ -355,16 +320,12 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
                     & c_ds_mask & solve_ok[:, None], axis=1) + jnp.sum(
                     jnp.any(sc != cells0[1], axis=-1)
                     & s_ds_mask & solve_ok[:, None], axis=1)
-        c8 = _assoc_out8_b(corner_stack,
-                           ~(c_ds_mask & solve_ok[:, None]),
-                           c_cache, q_w, t_w, cfg, "corner")
-        s8 = _assoc_out8_b(surf_stack,
-                           ~(s_ds_mask & solve_ok[:, None]),
-                           s_cache, q_w, t_w, cfg, "surf")
-        edges = solver.EdgeFactors(p=corner_stack, a=c8[..., 0:3],
-                                   b=c8[..., 3:6], mask=c8[..., 6] > 0)
-        planes = solver.PlaneFactors(p=surf_stack, n=s8[..., 0:3],
-                                     d=s8[..., 3], mask=s8[..., 4] > 0)
+        c8 = _assoc_out8_b(sel_c, ~(c_ds_mask & solve_ok[:, None]),
+                           c_cache, cfg, "corner")
+        s8 = _assoc_out8_b(sel_s, ~(s_ds_mask & solve_ok[:, None]),
+                           s_cache, cfg, "surf")
+        edges = _factors_of(c8, corner_stack, "corner")
+        planes = _factors_of(s8, surf_stack, "surf")
         q_w, t_w, stats = lm_b(edges, planes, q_w, t_w)
         degen = degen + stats.clamped + stats.nonfinite
         n_edge = jnp.sum(edges.mask, axis=1)

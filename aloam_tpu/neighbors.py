@@ -177,13 +177,20 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
     if use_pallas("odom"):
         from aloam_tpu.ops.pallas_odom import window_mins
         big = jnp.float32(1e9)
+        # recenter before the kernel's q² − 2q·r + r² MXU expansion — the
+        # same centering the XLA branch applies below: at raw scene-scale
+        # coordinates (~1e2 m) the expansion cancels ~1e4-magnitude terms
+        # and loses ~1e-3 m² of f32 accuracy, enough to flip near-tie
+        # argmins vs the XLA path. Poison is applied AFTER centering so
+        # invalid rows sit at exactly 1e9 (d2 ≈ 3e18, fails every merge).
+        center = jnp.mean(sel, axis=1, keepdims=True)
         ref_p = jnp.concatenate(
             [jnp.where(ref_mask[:, None, :],
-                       jnp.moveaxis(ref, 1, 2), big),
+                       jnp.moveaxis(ref - center, 1, 2), big),
              jnp.where(ref_mask[:, :, None],
                        ref_ring.astype(jnp.float32)[:, :, None],
                        big).reshape(ref.shape[0], 1, -1)], axis=1)
-        outs = window_mins(sel, ref_p, float(nearby_scan))
+        outs = window_mins(sel - center, ref_p, float(nearby_scan))
         if not want_same_ring:
             return outs[0], outs[1], outs[2], outs[3]
         return outs

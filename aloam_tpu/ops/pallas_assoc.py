@@ -52,37 +52,6 @@ _HI = jax.lax.Precision.HIGHEST
 OUT_W = 8
 
 
-def _select5(crow, q, bw: int, k: int):
-    """Shared k-pass min/argmin selection (identical to ops/pallas_knn.py):
-    returns (d2 list of (TQ,), (nx, ny, nz) lists of (TQ,))."""
-    n_blocks = crow.shape[1] // (3 * bw)
-    xs = jnp.concatenate(
-        [crow[:, 3 * j * bw:(3 * j + 1) * bw] for j in range(n_blocks)], 1)
-    ys = jnp.concatenate(
-        [crow[:, (3 * j + 1) * bw:(3 * j + 2) * bw]
-         for j in range(n_blocks)], 1)
-    zs = jnp.concatenate(
-        [crow[:, (3 * j + 2) * bw:(3 * j + 3) * bw]
-         for j in range(n_blocks)], 1)
-    width = n_blocks * bw
-    d2 = ((xs - q[:, 0:1]) ** 2 + (ys - q[:, 1:2]) ** 2
-          + (zs - q[:, 2:3]) ** 2)
-    d2 = jnp.where(q[:, 3:4] > 0.0, _INF, d2)
-
-    tq = d2.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, width), 1)
-    ds, nxs, nys, nzs = [], [], [], []
-    for _ in range(k):
-        am = jnp.argmin(d2, axis=1)
-        sel = iota == am[:, None]
-        ds.append(jnp.min(d2, axis=1))
-        nxs.append(jnp.sum(jnp.where(sel, xs, 0.0), axis=1))
-        nys.append(jnp.sum(jnp.where(sel, ys, 0.0), axis=1))
-        nzs.append(jnp.sum(jnp.where(sel, zs, 0.0), axis=1))
-        d2 = jnp.where(sel, _INF, d2)
-    return ds, nxs, nys, nzs
-
-
 def _fit_surf(nx, ny, nz, gate_sq: float, plane_tol: float, d2_4):
     """Scalar expansion of mapping.surf_associations_b's fit: centered-Gram
     normal equations (laserMapping.cpp:662-668 semantics), Cramer solve
@@ -276,7 +245,8 @@ def _assoc_cell_kernel(cid0_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
     crow = jax.lax.dot_general(oh, scratch[slot], (((1,), (0,)), ((), ())),
                                precision=_HI,
                                preferred_element_type=jnp.float32)
-    ds, nxs, nys, nzs = _select5(crow, q, bw, 5)
+    from aloam_tpu.ops.pallas_knn import select_passes
+    ds, nxs, nys, nzs = select_passes(crow, q, bw, 5)
     _fit_and_emit(out_ref, ds, nxs, nys, nzs, kind=kind, gate_sq=gate_sq,
                   plane_tol=plane_tol, eigen_ratio=eigen_ratio,
                   half_len=half_len)

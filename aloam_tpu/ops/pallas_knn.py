@@ -28,9 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = float("inf")
 
 
-def _knn_select_kernel(crow_ref, q_ref, dout_ref, nx_ref, ny_ref, nz_ref,
-                       *, k: int, bw: int):
-    crow = crow_ref[:]                       # (TQ, 8·3·bw) block-planar
+def select_passes(crow, q, bw: int, k: int):
+    """Shared k-pass gated selection over block-planar candidate rows —
+    the ONE implementation both this kernel and the fused association
+    kernel (ops/pallas_assoc.py) build on. crow (TQ, n_blocks·3·bw) in
+    8-sub-block [x(bw)|y(bw)|z(bw)] layout; q (TQ, ≥4) [x, y, z, poison].
+    Returns (d2, nx, ny, nz) — k-element lists of (TQ,) vectors; argmin
+    ties take the lowest index (jnp.argmin semantics)."""
     n_blocks = crow.shape[1] // (3 * bw)
     xs = jnp.concatenate(
         [crow[:, 3 * j * bw:(3 * j + 1) * bw] for j in range(n_blocks)], 1)
@@ -41,22 +45,32 @@ def _knn_select_kernel(crow_ref, q_ref, dout_ref, nx_ref, ny_ref, nz_ref,
         [crow[:, (3 * j + 2) * bw:(3 * j + 3) * bw]
          for j in range(n_blocks)], 1)
     width = n_blocks * bw
-    q = q_ref[:]                             # (TQ, 4): x, y, z, poison
     d2 = ((xs - q[:, 0:1]) ** 2 + (ys - q[:, 1:2]) ** 2
           + (zs - q[:, 2:3]) ** 2)
     d2 = jnp.where(q[:, 3:4] > 0.0, _INF, d2)
 
     tq = d2.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, width), 1)
-    for j in range(k):
-        m = jnp.min(d2, axis=1)
+    ds, nxs, nys, nzs = [], [], [], []
+    for _ in range(k):
         am = jnp.argmin(d2, axis=1)
         sel = iota == am[:, None]
-        dout_ref[:, j] = m
-        nx_ref[:, j] = jnp.sum(jnp.where(sel, xs, 0.0), axis=1)
-        ny_ref[:, j] = jnp.sum(jnp.where(sel, ys, 0.0), axis=1)
-        nz_ref[:, j] = jnp.sum(jnp.where(sel, zs, 0.0), axis=1)
+        ds.append(jnp.min(d2, axis=1))
+        nxs.append(jnp.sum(jnp.where(sel, xs, 0.0), axis=1))
+        nys.append(jnp.sum(jnp.where(sel, ys, 0.0), axis=1))
+        nzs.append(jnp.sum(jnp.where(sel, zs, 0.0), axis=1))
         d2 = jnp.where(sel, _INF, d2)
+    return ds, nxs, nys, nzs
+
+
+def _knn_select_kernel(crow_ref, q_ref, dout_ref, nx_ref, ny_ref, nz_ref,
+                       *, k: int, bw: int):
+    ds, nxs, nys, nzs = select_passes(crow_ref[:], q_ref[:], bw, k)
+    for j in range(k):
+        dout_ref[:, j] = ds[j]
+        nx_ref[:, j] = nxs[j]
+        ny_ref[:, j] = nys[j]
+        nz_ref[:, j] = nzs[j]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "bw", "interpret"))

@@ -47,7 +47,8 @@ def _cached_sequence(n_frames, seed, speed):
     cfg = PRESETS["HDL-64"]
     cache = os.path.join(_here, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"hdl64_a{_AZ}_f{n_frames}_s{seed}.npz")
+    path = os.path.join(cache,
+                        f"hdl64_a{_AZ}_f{n_frames}_s{seed}_v{speed:g}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return z["xyz"], z["mask"], z["gt"]
@@ -96,8 +97,8 @@ def _stream_speed(b: int) -> float:
     """Gate-compatible stream speeds: ≤ 8.875 m/s → ≤ 0.89 m/frame at
     10 Hz against the 1.0 m map NN gate (round 2 generated up to
     1.55 m/frame and manufactured its own worst-stream divergence).
-    b < 16 keeps round-2's ladder exactly (the on-disk sequence cache is
-    keyed by seed, not speed); b ≥ 16 interleaves distinct speeds."""
+    b < 16 keeps the ladder the committed 49.3-scans/s run used;
+    b ≥ 16 interleaves distinct speeds between its rungs."""
     return 5.0 + 0.25 * b if b < 16 else 5.125 + 0.25 * (b - 16)
 
 

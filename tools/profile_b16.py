@@ -59,7 +59,8 @@ def main():
     n_frames = int(os.environ.get("PROF_FRAMES", "6"))
     cfg = PRESETS["HDL-64"].replace(map_query_chunk=2048)
 
-    streams = [bench._cached_sequence(n_frames + 2, 100 + b, 8.0 + 0.5 * b)
+    streams = [bench._cached_sequence(n_frames + 2, 100 + b,
+                                      bench._stream_speed(b))
                for b in range(batch)]
     xyz = np.stack([s[0] for s in streams], axis=1)
     mask = np.stack([s[1] for s in streams], axis=1)
@@ -209,8 +210,11 @@ def main():
     built = [jax.block_until_ready(build_j(*i)) for i in b_in]
 
     def assoc_fused(cc, cst, cm, sc_, sst, sm, q_w, t_w):
-        c8 = mp._assoc_out8_b(cst, ~cm, cc, q_w, t_w, cfg, "corner")
-        s8 = mp._assoc_out8_b(sst, ~sm, sc_, q_w, t_w, cfg, "surf")
+        import aloam_tpu.geometry as geo
+        sel_c = geo.qrot(q_w[:, None, :], cst) + t_w[:, None, :]
+        sel_s = geo.qrot(q_w[:, None, :], sst) + t_w[:, None, :]
+        c8 = mp._assoc_out8_b(sel_c, ~cm, cc, cfg, "corner")
+        s8 = mp._assoc_out8_b(sel_s, ~sm, sc_, cfg, "surf")
         return c8, s8
     res["map_assoc_fused_round"] = timeit(jax.jit(assoc_fused), built)
 
