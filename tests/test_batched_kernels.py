@@ -494,3 +494,25 @@ def test_pallas_insert_merge_matches_xla(rng):
     for nm, a, b in zip(names, ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+def test_mapping_step_b_exact_research_matches_reuse(populated):
+    """map_cache_reuse=False (exact per-round re-search, the reference's
+    semantics) must run the rewired sorted path end-to-end and land within
+    solver-rounding distance of the cache-reuse default — on this scene
+    the round-2 pose delta is sub-cell, so the candidate sets coincide."""
+    feats1, _, _, feats1_b, ost1_b, mst1_b = populated
+    f_reuse = jax.jit(lambda s, c, f, q, t: mp.mapping_step_b(
+        s, c, f, q, t, CFG))
+    f_exact = jax.jit(lambda s, c, f, q, t: mp.mapping_step_b(
+        s, c, f, q, t, CFG.replace(map_cache_reuse=False)))
+    args = (mst1_b, feats1_b.less_sharp, feats1_b.less_flat,
+            ost1_b.q_w, ost1_b.t_w)
+    st_r, m_r = f_reuse(*args)
+    st_e, m_e = f_exact(*args)
+    np.testing.assert_allclose(np.asarray(st_e.t_w), np.asarray(st_r.t_w),
+                               atol=2.5e-2)
+    np.testing.assert_allclose(np.asarray(st_e.q_w), np.asarray(st_r.q_w),
+                               atol=2.5e-2)
+    # the exact path reports no reuse deviation by construction
+    assert np.all(np.asarray(m_e.cache_crossed) == 0)
