@@ -387,24 +387,28 @@ def main():
         # ≥32 steady-state frames so the headline is self-consistent with
         # direct step timings (round-2 timed 8 frames and understated)
         n_b = int(os.environ.get("BENCH_BATCH_FRAMES", "32"))
-        # batch ladder: try the largest first (the round-3 kernels removed
-        # the per-query candidate transient that OOM'd B=24+ in round 2);
-        # any failure falls back to the next size and is reported
-        ladder = [batch] + [b for b in (16,) if b < batch]
-        fell_back = []
+        # batch ladder: measure every size and report the best (the
+        # round-3 kernels removed the per-query candidate transient that
+        # OOM'd B=24+ in round 2, but HBM-pressure slowdowns are also
+        # possible — only a measurement decides); failures are recorded
+        ladder = sorted({batch, 16} & set(range(1, batch + 1)), reverse=True)
+        fell_back, per_batch = [], {}
+        best = None
         for bi in ladder:
             try:
                 sps, ate_b, ate_med, flops = bench_batched(bcfg, bi, n_b)
-                batch = bi
-                break
+                per_batch[str(bi)] = round(sps, 2)
+                if best is None or sps > best[0]:
+                    best = (sps, ate_b, ate_med, flops, bi)
             except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
-                if bi == ladder[-1]:
-                    raise
                 fell_back.append(f"B={bi}: {type(e).__name__}")
+        if best is None:
+            raise RuntimeError(f"every batch size failed: {fell_back}")
+        sps, ate_b, ate_med, flops, batch = best
         result.update(value=round(sps, 2), batch=batch,
                       ate_batched_max_m=round(ate_b, 4),
                       ate_batched_med_m=round(ate_med, 4),
-                      batch_frames=n_b)
+                      batch_frames=n_b, batch_ladder=per_batch)
         if fell_back:
             result["batch_fallback"] = fell_back
         if flops:
