@@ -169,7 +169,8 @@ def surf_associations_b(stack_xyz, stack_mask, grid: gridmap.GridMap,
 
 
 def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
-                  cfg: AloamConfig, kind: str):
+                  cfg: AloamConfig, kind: str,
+                  force_kernel_interpret: bool = False):
     """One fused association round over CELL-SORTED queries.
 
     sel (B, Q, 3) world-frame queries in the cache's sorted order;
@@ -190,7 +191,10 @@ def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
     # XLA path applies internally), or an origin-adjacent spilled query
     # would emit factors from the wrong cell neighborhood
     poison = poison | (cache.cid_sorted >= cache.cell_cap)
-    if use_pallas("assoc"):
+    # force_kernel_interpret: tests exercise the FULL kernel-branch
+    # plumbing (padding, cid0/local windows, poison routing) on CPU via
+    # the interpret-mode kernel — the branch a backend check would hide
+    if use_pallas("assoc") or force_kernel_interpret:
         bsz, q_n = sel.shape[:2]
         tq = gridmap.ASSOC_TQ
         crows = cache.cand_flat.shape[1]        # cell_cap + ASSOC_TQ
@@ -218,7 +222,8 @@ def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
              jnp.zeros((bsz * q_n, 3), jnp.float32)], axis=-1)
         out8 = pallas_assoc.assoc_cell(
             cache.cand_flat.reshape(bsz * crows, -1), cid0, q8, kind,
-            cfg.map_knn_gate_sq, tq=tq, **kw)
+            cfg.map_knn_gate_sq, tq=tq,
+            interpret=force_kernel_interpret, **kw)
         return out8.reshape(bsz, q_n, 8)[:, :q_n - q_pad]
     # XLA fallback: poisoned queries routed to the spill slot (same
     # +inf-d2 semantics as the kernel's poison channel)
