@@ -165,7 +165,8 @@ def odom_window_mins(sel: jnp.ndarray, ref: jnp.ndarray,
 def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
                        ref_mask: jnp.ndarray, ref_ring: jnp.ndarray,
                        nearby_scan: int, want_same_ring: bool,
-                       chunk: int = 8192):
+                       chunk: int = 8192,
+                       force_kernel_interpret: bool = False):
     """Batched odom_window_mins: sel (B,Q,3), ref (B,M,3). Identical
     per-stream semantics; on TPU the whole search runs as one fused Pallas
     kernel with the reference cloud resident in VMEM (ops/pallas_odom.py —
@@ -174,7 +175,7 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
     gather is one flat op."""
     from aloam_tpu.utils.batch import bgather
     from aloam_tpu.ops.pallas_gate import use_pallas
-    if use_pallas("odom"):
+    if use_pallas("odom") or force_kernel_interpret:
         from aloam_tpu.ops.pallas_odom import window_mins
         big = jnp.float32(1e9)
         # recenter before the kernel's q² − 2q·r + r² MXU expansion — the
@@ -190,7 +191,8 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
              jnp.where(ref_mask[:, :, None],
                        ref_ring.astype(jnp.float32)[:, :, None],
                        big).reshape(ref.shape[0], 1, -1)], axis=1)
-        outs = window_mins(sel - center, ref_p, float(nearby_scan))
+        outs = window_mins(sel - center, ref_p, float(nearby_scan),
+                           interpret=force_kernel_interpret)
         if not want_same_ring:
             return outs[0], outs[1], outs[2], outs[3]
         return outs

@@ -488,7 +488,8 @@ def _merge_dense_xla(pts_tile, s_int, cell_tile, vox_tile,
 def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
              mask: jnp.ndarray, leaf: float, cell_size: float,
              center: jnp.ndarray, window: jnp.ndarray,
-             point_cap: int = 16, touched_cap: int = 4096):
+             point_cap: int = 16, touched_cap: int = 4096,
+             force_kernel_interpret: bool = False):
     """Batched insert of one frame's voxel-downsampled stack per stream.
 
     grid leaves (B, H, ·); pts (B, N, 3); center (B, 3) pose cell coords;
@@ -577,9 +578,13 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     # the one-hot einsum form elsewhere; interpret-mode tests pin them
     # together bit-for-bit
     from aloam_tpu.ops.pallas_gate import use_pallas
-    if use_pallas("insert"):
+    if use_pallas("insert") or force_kernel_interpret:
+        # force_kernel_interpret: tests run the kernel branch's full
+        # plumbing on CPU via the interpret-mode kernel
         from aloam_tpu.ops.pallas_insert import merge_tiles
-        merge_fn = merge_tiles
+        import functools as _ft
+        merge_fn = _ft.partial(merge_tiles,
+                               interpret=force_kernel_interpret)
     else:
         merge_fn = _merge_dense_xla
     (s_px, s_py, s_pz, s_int, s_cx, s_cy, s_cz, s_vox,

