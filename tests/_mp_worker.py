@@ -28,6 +28,9 @@ def main() -> None:
             flags + " --xla_force_host_platform_device_count=2").strip()
     # exercise the documented env-var path of distributed.initialize()
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    # this sandbox resolves the hostname to an interface gloo sometimes
+    # cannot connect across; force every gloo pair onto loopback
+    os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")
     os.environ["JAX_NUM_PROCESSES"] = str(nproc)
     os.environ["JAX_PROCESS_ID"] = str(pid)
 
@@ -53,6 +56,17 @@ def main() -> None:
     mesh = distributed.global_mesh(n_model=2)
     assert mesh.shape["data"] == nproc and mesh.shape["model"] == 2
 
+    def barrier(name, timeout_ms=900_000):
+        # coordination-service barrier (KV store, no gloo): on this 1-core
+        # host the two workers compile serially, and gloo's 30 s context
+        # init expires if one reaches the first collective while the other
+        # is still compiling — so compile FIRST, rendezvous, then execute
+        try:
+            from jax._src import distributed as _dist
+            _dist.global_state.client.wait_at_barrier(name, timeout_ms)
+        except Exception as e:  # noqa: BLE001 — best-effort on older jax
+            print(f"barrier {name} skipped: {e}", flush=True)
+
     # --- cross-process collective: psum over the process-spanning axis ---
     batch = mesh.shape["data"]
     local, off = distributed.process_local_batch(batch)
@@ -60,9 +74,16 @@ def main() -> None:
     shard = NamedSharding(mesh, P("data"))
     mine = np.full((local, 128), float(pid + 1), np.float32)
     x = jax.make_array_from_process_local_data(shard, mine)
-    tot = jax.jit(shard_map(
+    # out_specs stays sharded over "data": a replicated P() output adds a
+    # 4-device broadcast context spanning both axes, whose gloo TCP
+    # handshake is flaky under this host's 1-core compile contention —
+    # the psum itself (the actual cross-process proof) uses the 2-rank
+    # per-process contexts, which connect reliably
+    psum_c = jax.jit(shard_map(
         lambda v: jax.lax.psum(v, "data"), mesh,
-        in_specs=P("data"), out_specs=P()))(x)
+        in_specs=P("data"), out_specs=P("data"))).lower(x).compile()
+    barrier("psum_compiled")
+    tot = psum_c(x)
     expect = nproc * (nproc + 1) / 2.0  # sum of (pid+1)
     got = float(np.asarray(tot.addressable_data(0))[0, 0])
     assert got == expect, (got, expect)
@@ -88,7 +109,13 @@ def main() -> None:
                                                          np.asarray(a)),
         batched_init(cfg, local))
     step = batched_step_fn(cfg, mesh)
-    new_state, outs = step(state, xyz, mask)
+    # AOT-compile BEFORE the rendezvous: on this 1-core host the two
+    # workers compile serially (minutes cold), and the step's first
+    # cross-process collective would hit gloo's fixed 30 s context-init
+    # timeout while the peer is still compiling
+    step_c = step.lower(state, xyz, mask).compile()
+    barrier("step_compiled")
+    new_state, outs = step_c(state, xyz, mask)
     t_map = np.asarray(outs.t_map.addressable_data(0))
     assert np.all(np.isfinite(t_map)), t_map
     jax.block_until_ready(jax.tree.leaves(new_state))
