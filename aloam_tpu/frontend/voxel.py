@@ -32,7 +32,7 @@ _SENTINEL = 2 ** 30  # plain scalar: jnp constants at import time would init bac
 
 
 def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
-                out_cap: int):
+                out_cap: int, force_kernel_interpret: bool = False):
     """Shared rows-batched core. values (R, N, K) with xyz leading, mask
     (R, N). Sort by (k, ji) — identical order to a stable radix sort by
     i, then j, then k — with the K payload columns riding the same sort.
@@ -63,14 +63,22 @@ def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     vals_s = [jnp.where(mask_s, v, 0.0) for v in out[2:]]
     vals_s.append(mask_s.astype(jnp.float32))            # count channel
 
-    def combine(a, b):
-        av, af = a
-        bv, bf = b
-        return tuple(bvi + jnp.where(bf, 0.0, avi)
-                     for avi, bvi in zip(av, bv)), af | bf
+    from aloam_tpu.ops.pallas_gate import use_pallas
+    if use_pallas("voxel") or force_kernel_interpret:
+        # VMEM-resident Hillis-Steele ladder (ops/pallas_voxel.py): the
+        # XLA associative_scan materializes every combine step in HBM
+        from aloam_tpu.ops.pallas_voxel import segmented_prefix_sums
+        prefix = segmented_prefix_sums(
+            tuple(vals_s), new_seg, interpret=force_kernel_interpret)
+    else:
+        def combine(a, b):
+            av, af = a
+            bv, bf = b
+            return tuple(bvi + jnp.where(bf, 0.0, avi)
+                         for avi, bvi in zip(av, bv)), af | bf
 
-    prefix, _ = jax.lax.associative_scan(
-        combine, (tuple(vals_s), new_seg), axis=1)
+        prefix, _ = jax.lax.associative_scan(
+            combine, (tuple(vals_s), new_seg), axis=1)
 
     # segment totals live at segment TAILS: the slot before the next head
     # (or the last valid slot). Compact them with one stable payload sort

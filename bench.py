@@ -329,6 +329,31 @@ def verify_pallas_kernels():
     except Exception as e:  # noqa: BLE001 — AssertionError re-raised
         _disable("insert", e)
 
+    # --- pallas_voxel.segmented_prefix_sums --------------------------------
+    from aloam_tpu.ops.pallas_voxel import segmented_prefix_sums
+    rv, nv = 16, 2560
+    heads = rng.uniform(size=(rv, nv)) < 0.2
+    heads[:, 0] = True
+    chans = tuple(rng.uniform(-20, 20, size=(rv, nv)).astype(np.float32)
+                  for _ in range(5))
+    try:
+        outs_v = segmented_prefix_sums(tuple(jnp.asarray(c) for c in chans),
+                                       jnp.asarray(heads))
+        # XLA reference: plain numpy segmented inclusive scan
+        seg_id = np.cumsum(heads, axis=1) - 1
+        for c, o in zip(chans, outs_v):
+            o = np.asarray(o)
+            ref_v = np.zeros_like(c)
+            for rr in range(rv):
+                acc = 0.0
+                for j in range(nv):
+                    acc = c[rr, j] if heads[rr, j] else acc + c[rr, j]
+                    ref_v[rr, j] = acc
+            assert np.allclose(o, ref_v, atol=2e-3), \
+                "compiled segmented_prefix_sums mismatch"
+    except Exception as e:  # noqa: BLE001
+        _disable("voxel", e)
+
     # --- pallas_odom.window_mins -----------------------------------------
     from aloam_tpu.ops.pallas_odom import window_mins
     bsz, qn, m = 2, 256, 2048

@@ -638,3 +638,21 @@ def test_odom_kernel_branch_matches_xla_on_pipeline_data(populated):
     dx = np.asarray(outs_x[0])
     agree = np.mean(ix == ik)
     assert agree > 0.97, f"nn index agreement {agree}"
+
+
+def test_voxel_scan_kernel_matches_xla(rng):
+    """The VMEM segmented-scan kernel (interpret mode) must reproduce
+    _voxel_core's XLA associative-scan path: same segments, same mask and
+    drop counts, means equal to scan-order rounding."""
+    from aloam_tpu.frontend.voxel import _voxel_core
+
+    r, n, k = 12, 640, 4
+    vals = rng.uniform(-20, 20, size=(r, n, k)).astype(np.float32)
+    mask = rng.uniform(size=(r, n)) > 0.15
+    ref = _voxel_core(jnp.asarray(vals), jnp.asarray(mask), 0.7, 256)
+    out = _voxel_core(jnp.asarray(vals), jnp.asarray(mask), 0.7, 256,
+                      force_kernel_interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
