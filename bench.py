@@ -94,12 +94,16 @@ def bench_single(cfg, n_frames):
 
 
 def _stream_speed(b: int) -> float:
-    """Gate-compatible stream speeds: ≤ 8.875 m/s → ≤ 0.89 m/frame at
+    """Gate-compatible stream speeds: ≤ 8.94 m/s → ≤ 0.9 m/frame at
     10 Hz against the 1.0 m map NN gate (round 2 generated up to
     1.55 m/frame and manufactured its own worst-stream divergence).
-    b < 16 keeps the ladder the committed 49.3-scans/s run used;
-    b ≥ 16 interleaves distinct speeds between its rungs."""
-    return 5.0 + 0.25 * b if b < 16 else 5.125 + 0.25 * (b - 16)
+    b < 16 keeps the ladder the committed 49.3-scans/s run used; each
+    further block of 16 interleaves distinct speeds between the rungs."""
+    if b < 16:
+        return 5.0 + 0.25 * b
+    blk, off = divmod(b - 16, 16)
+    extra = (0.125, 0.0625, 0.1875)[blk % 3]
+    return 5.0 + 0.25 * off + extra
 
 
 def bench_batched(cfg, batch, n_frames):
@@ -419,7 +423,7 @@ def main():
         ladder = sorted({batch, 16} & set(range(1, batch + 1)), reverse=True)
         fell_back, per_batch = [], {}
         best = None
-        for bi in ladder:
+        for bi in list(ladder):
             try:
                 sps, ate_b, ate_med, flops = bench_batched(bcfg, bi, n_b)
                 per_batch[str(bi)] = round(sps, 2)
@@ -427,6 +431,11 @@ def main():
                     best = (sps, ate_b, ate_med, flops, bi)
             except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
                 fell_back.append(f"B={bi}: {type(e).__name__}")
+            # near-linear scaling 16 -> 32 means latency still dominates:
+            # probe 64 too (unless the user pinned BENCH_BATCH elsewhere)
+            if (bi == ladder[0] == 32 and "16" in per_batch
+                    and per_batch.get("32", 0) > 1.7 * per_batch["16"]):
+                ladder.append(64)
         if best is None:
             raise RuntimeError(f"every batch size failed: {fell_back}")
         sps, ate_b, ate_med, flops, batch = best
