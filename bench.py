@@ -97,8 +97,10 @@ def _stream_speed(b: int) -> float:
     """Gate-compatible stream speeds: ≤ 8.94 m/s → ≤ 0.9 m/frame at
     10 Hz against the 1.0 m map NN gate (round 2 generated up to
     1.55 m/frame and manufactured its own worst-stream divergence).
-    b < 16 keeps the ladder the committed 49.3-scans/s run used; each
-    further block of 16 interleaves distinct speeds between the rungs."""
+    b < 16 keeps the ladder the committed 49.3-scans/s run used; blocks
+    of 16 up to b = 63 interleave distinct speeds between the rungs (the
+    offset pattern repeats with period 48 beyond that — worlds stay
+    distinct via the seed)."""
     if b < 16:
         return 5.0 + 0.25 * b
     blk, off = divmod(b - 16, 16)
@@ -343,8 +345,7 @@ def verify_pallas_kernels():
     try:
         outs_v = segmented_prefix_sums(tuple(jnp.asarray(c) for c in chans),
                                        jnp.asarray(heads))
-        # XLA reference: plain numpy segmented inclusive scan
-        seg_id = np.cumsum(heads, axis=1) - 1
+        # reference: plain numpy segmented inclusive scan
         for c, o in zip(chans, outs_v):
             o = np.asarray(o)
             ref_v = np.zeros_like(c)
@@ -423,7 +424,9 @@ def main():
         ladder = sorted({batch, 16} & set(range(1, batch + 1)), reverse=True)
         fell_back, per_batch = [], {}
         best = None
-        for bi in list(ladder):
+
+        def run_size(bi):
+            nonlocal best
             try:
                 sps, ate_b, ate_med, flops = bench_batched(bcfg, bi, n_b)
                 per_batch[str(bi)] = round(sps, 2)
@@ -431,11 +434,14 @@ def main():
                     best = (sps, ate_b, ate_med, flops, bi)
             except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
                 fell_back.append(f"B={bi}: {type(e).__name__}")
-            # near-linear scaling 16 -> 32 means latency still dominates:
-            # probe 64 too (unless the user pinned BENCH_BATCH elsewhere)
-            if (bi == ladder[0] == 32 and "16" in per_batch
-                    and per_batch.get("32", 0) > 1.7 * per_batch["16"]):
-                ladder.append(64)
+
+        for bi in ladder:
+            run_size(bi)
+        # near-linear scaling 16 -> 32 means latency still dominates:
+        # probe 64 too (only from the default 32-topped ladder)
+        if (ladder[:1] == [32]
+                and per_batch.get("32", 0) > 1.7 * per_batch.get("16", 1e9)):
+            run_size(64)
         if best is None:
             raise RuntimeError(f"every batch size failed: {fell_back}")
         sps, ate_b, ate_med, flops, batch = best

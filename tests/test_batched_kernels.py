@@ -609,9 +609,9 @@ def test_insert_kernel_branch_matches_xla_on_pipeline_data(populated):
 
 def test_odom_kernel_branch_matches_xla_on_pipeline_data(populated):
     """odom_window_mins_b's kernel-branch plumbing (recentering, planar
-    ref build, poison rows) vs the XLA scan on real feature clouds: exact
-    index agreement wherever the two nearest candidates aren't within
-    rounding of a tie, close distances everywhere."""
+    ref build, poison rows) vs the XLA scan on real feature clouds:
+    distances close everywhere, index agreement > 97% (the remainder are
+    lattice near-ties where either index yields the same distance)."""
     from aloam_tpu.neighbors import odom_window_mins_b
 
     feats1, ost1, _, feats1_b, ost1_b, _ = populated
@@ -635,7 +635,6 @@ def test_odom_kernel_branch_matches_xla_on_pipeline_data(populated):
     # two paths report the same (finite) min distance to 1e-4, any index
     # disagreement must still yield that distance (equally-near tie)
     ix, ik = np.asarray(outs_x[1]), np.asarray(outs_k[1])
-    dx = np.asarray(outs_x[0])
     agree = np.mean(ix == ik)
     assert agree > 0.97, f"nn index agreement {agree}"
 
@@ -645,6 +644,8 @@ def test_voxel_scan_kernel_matches_xla(rng):
     _voxel_core's XLA associative-scan path: same segments, same mask and
     drop counts, means equal to scan-order rounding."""
     from aloam_tpu.frontend.voxel import _voxel_core
+
+    from aloam_tpu.ops.pallas_voxel import segmented_prefix_sums
 
     r, n, k = 12, 640, 4
     vals = rng.uniform(-20, 20, size=(r, n, k)).astype(np.float32)
@@ -656,3 +657,19 @@ def test_voxel_scan_kernel_matches_xla(rng):
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+    # cross-chunk carry: the scan axis is tiled at the biggest call sites
+    # (mapping input downsample, N = 40960 > any VMEM row budget)
+    heads = np.asarray(rng.uniform(size=(4, 700)) < 0.1)
+    heads[:, 0] = True
+    chan = rng.uniform(-10, 10, size=(4, 700)).astype(np.float32)
+    got = np.asarray(segmented_prefix_sums(
+        (jnp.asarray(chan),), jnp.asarray(heads), chunk=128,
+        interpret=True)[0])
+    refc = np.zeros_like(chan)
+    for rr in range(4):
+        acc = 0.0
+        for j in range(700):
+            acc = chan[rr, j] if heads[rr, j] else acc + chan[rr, j]
+            refc[rr, j] = acc
+    np.testing.assert_allclose(got, refc, atol=2e-3)

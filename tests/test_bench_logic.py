@@ -61,3 +61,30 @@ def test_ladder_all_fail_raises(bench_mod, monkeypatch):
     monkeypatch.setattr(bench_mod, "bench_batched", fake)
     with pytest.raises(RuntimeError, match="every batch size failed"):
         _run_main(bench_mod)
+
+
+def test_ladder_probes_64_on_near_linear_scaling(bench_mod, monkeypatch):
+    calls = []
+
+    def fake(cfg, batch, n_frames):
+        calls.append(batch)
+        return {32: 95.0, 16: 49.0, 64: 150.0}[batch], 0.05, 0.02, 1e9
+
+    monkeypatch.setattr(bench_mod, "bench_batched", fake)
+    r = _run_main(bench_mod)
+    assert calls == [32, 16, 64]
+    assert r["value"] == 150.0 and r["batch"] == 64
+    assert r["batch_ladder"]["64"] == 150.0
+
+
+def test_ladder_skips_64_on_sublinear_scaling(bench_mod, monkeypatch):
+    calls = []
+
+    def fake(cfg, batch, n_frames):
+        calls.append(batch)
+        return {32: 60.0, 16: 49.0}[batch], 0.05, 0.02, 1e9
+
+    monkeypatch.setattr(bench_mod, "bench_batched", fake)
+    r = _run_main(bench_mod)
+    assert calls == [32, 16]
+    assert r["value"] == 60.0 and r["batch"] == 32
