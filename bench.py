@@ -337,7 +337,9 @@ def verify_pallas_kernels():
 
     # --- pallas_voxel.segmented_prefix_sums --------------------------------
     from aloam_tpu.ops.pallas_voxel import segmented_prefix_sums
-    rv, nv = 16, 2560
+    # nv > chunk (2560): exercises the cross-chunk carry with the same
+    # compiled block shapes as the biggest real call (mapping, N = 40960)
+    rv, nv = 16, 6400
     heads = rng.uniform(size=(rv, nv)) < 0.2
     heads[:, 0] = True
     chans = tuple(rng.uniform(-20, 20, size=(rv, nv)).astype(np.float32)
