@@ -246,7 +246,6 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     unsort is ever paid, and the fused kernel's contiguous cell-window
     DMA applies. The insert path is order-independent too (it re-sorts by
     bucket)."""
-    import jax as _jax
     from aloam_tpu.frontend.voxel import voxel_downsample_masked_b
 
     q_w = geo.qmul(state.q_wmap_wodom, q_wodom)
@@ -270,7 +269,7 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     corner_stack, c_int = c_ds[..., :3], c_ds[..., 3]
     surf_stack, s_int = s_ds[..., :3], s_ds[..., 3]
 
-    lm_b = _jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
+    lm_b = jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
         (e, p), qq, tt, cfg.map_lm_iters, cfg.huber_delta))
     n_edge = n_plane = None
     degen = jnp.zeros(q_w.shape[0], jnp.int32)

@@ -26,7 +26,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from aloam_tpu.config import PRESETS  # noqa: E402
-from aloam_tpu import pipeline, solver  # noqa: E402
+from aloam_tpu import solver  # noqa: E402
 from aloam_tpu import odometry as od  # noqa: E402
 from aloam_tpu import mapping as mp  # noqa: E402
 from aloam_tpu.frontend import registration as reg  # noqa: E402
