@@ -197,7 +197,7 @@ def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
     if use_pallas("assoc") or force_kernel_interpret:
         bsz, q_n = sel.shape[:2]
         tq = gridmap.ASSOC_TQ
-        crows = cache.cand_flat.shape[1]        # cell_cap + ASSOC_TQ
+        crows = cache.cand_flat.shape[1]        # cell_cap + ASSOC_PAD
         cid_sorted = cache.cid_sorted
         q_pad = (-q_n) % tq                     # per-stream tile alignment
         if q_pad:

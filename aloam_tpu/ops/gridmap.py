@@ -189,11 +189,13 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
     return -neg_top, nbrs
 
 
-# Tile height of the fused association kernel (ops/pallas_assoc.py) and
-# the number of pad rows appended to cand_flat so every tile's contiguous
-# cell window [cid0, cid0 + TQ) stays in-bounds (spilled queries sit at
-# slot cell_cap, so the last window reaches cell_cap + TQ - 1).
+# Tile height of the fused association kernel (ops/pallas_assoc.py).
+# ASSOC_PAD rows are appended to cand_flat so every tile's contiguous
+# cell window [align8(cid0), align8(cid0) + TQ + 8) stays in-bounds
+# (spilled queries sit at slot cell_cap, so the last window reaches
+# cell_cap + TQ + 7; the +8 covers the kernel's align8 window start).
 ASSOC_TQ = 256
+ASSOC_PAD = ASSOC_TQ + 8
 
 
 class KnnCache(NamedTuple):
@@ -205,7 +207,7 @@ class KnnCache(NamedTuple):
     laserMapping.cpp:562-727 re-searches ~identically) sees the same
     candidate set except for the few queries whose shifted base cell
     crossed a 2 m boundary."""
-    cand_flat: jnp.ndarray   # (B, C + ASSOC_TQ, 8*3*Bk) candidate xyz
+    cand_flat: jnp.ndarray   # (B, C + ASSOC_PAD, 8*3*Bk) candidate xyz
     cid: jnp.ndarray         # (B, Q) per-query cell slot (== C -> spilled)
     # per-SORTED-query cell slot: non-decreasing along Q, the contiguity
     # the fused association kernel's cell-window DMA relies on
@@ -249,7 +251,7 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     cid_sc = jnp.minimum(cid_s, cell_cap)                   # spill slot
 
     # cell coords per slot (one flat scatter; all writes per slot agree);
-    # ASSOC_TQ zero pad rows keep the fused kernel's cell-window DMA
+    # ASSOC_PAD zero pad rows keep the fused kernel's cell-window DMA
     # in-bounds — they hash to cell (0,0,0)'s real bucket block, and only
     # poisoned (spilled) queries can map onto them
     coff = (jnp.arange(bsz, dtype=jnp.int32) * (cell_cap + 1))[:, None]
@@ -258,7 +260,7 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
         (cid_sc + coff).reshape(-1)].set(qcell_s.reshape(-1, 3)).reshape(
             bsz, cell_cap + 1, 3)[:, :cell_cap]
     slot_cell = jnp.concatenate(
-        [slot_cell, jnp.zeros((bsz, ASSOC_TQ, 3), jnp.int32)], axis=1)
+        [slot_cell, jnp.zeros((bsz, ASSOC_PAD, 3), jnp.int32)], axis=1)
 
     # --- per-cell candidate blocks (the deduped gather) -------------------
     ncells = slot_cell[:, :, None, :] + _offsets8()[None, None]
@@ -274,7 +276,7 @@ def knn_cache_b(grid: GridMap, query: jnp.ndarray, cell_size: float,
     # gather + poison; the distance pass / Pallas kernel do the per-
     # sub-block coordinate slicing (a full-row [x|y|z] relayout measured
     # ~300 MB of pure transpose traffic per frame at B=16)
-    cand_flat = cand.reshape(bsz, cell_cap + ASSOC_TQ, 3 * n_cand)
+    cand_flat = cand.reshape(bsz, cell_cap + ASSOC_PAD, 3 * n_cand)
 
     # per-query cell slot, back in input order (flat scatter)
     qoff = (jnp.arange(bsz, dtype=jnp.int32) * q_n)[:, None]

@@ -105,6 +105,33 @@ def _fit_surf(nx, ny, nz, gate_sq: float, plane_tol: float, d2_4):
     return nh0, nh1, nh2, neg_oa, ok
 
 
+def _acos(x):
+    """Mosaic has no acos lowering: Abramowitz–Stegun 4.4.46 minimax,
+    |err| <= 2e-8 rad on [-1, 1] — below f32 resolution of the
+    downstream eigenvalues."""
+    ax = jnp.abs(x)
+    p = jnp.full_like(x, -0.0012624911)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + c
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0, jnp.pi - r, r)
+
+
+def _cos_small(x):
+    """cos on [0, pi/3] (Taylor to x^8: err < 5e-7 at pi/3)."""
+    x2 = x * x
+    return 1.0 + x2 * (-0.5 + x2 * (1.0 / 24.0 + x2 * (
+        -1.0 / 720.0 + x2 * (1.0 / 40320.0))))
+
+
+def _sin_small(x):
+    """sin on [0, pi/3] (Taylor to x^9: err < 5e-8 at pi/3)."""
+    x2 = x * x
+    return x * (1.0 + x2 * (-1.0 / 6.0 + x2 * (1.0 / 120.0 + x2 * (
+        -1.0 / 5040.0 + x2 * (1.0 / 362880.0)))))
+
+
 def _fit_corner(nx, ny, nz, gate_sq: float, eigen_ratio: float,
                 half_len: float, d2_4):
     """Scalar expansion of mapping.corner_associations_b's fit: 3×3
@@ -139,10 +166,12 @@ def _fit_corner(nx, ny, nz, gate_sq: float, eigen_ratio: float,
     r = 0.5 * (c00 * (c11 * c22 - c12 * c12)
                - c01 * (c01 * c22 - c12 * c02)
                + c02 * (c01 * c12 - c11 * c02))
-    phi = jnp.arccos(jnp.clip(r, -1.0, 1.0)) / 3.0
-    two_pi_3 = 2.0 * jnp.pi / 3.0
-    lam0 = q_tr + 2.0 * p * jnp.cos(phi)              # largest
-    lam2 = q_tr + 2.0 * p * jnp.cos(phi + two_pi_3)   # smallest
+    phi = _acos(jnp.clip(r, -1.0, 1.0)) / 3.0         # in [0, pi/3]
+    cphi, sphi = _cos_small(phi), _sin_small(phi)
+    # cos(phi + 2pi/3) = -cphi/2 - sqrt(3)/2 * sphi  (angle addition)
+    cphi2 = -0.5 * cphi - 0.8660254037844386 * sphi
+    lam0 = q_tr + 2.0 * p * cphi                      # largest
+    lam2 = q_tr + 2.0 * p * cphi2                     # smallest
     lam1 = 3.0 * q_tr - lam0 - lam2
 
     # spectral projector (A - lam1 I)(A - lam2 I), A = cov (symmetric)
@@ -212,7 +241,7 @@ def _fit_and_emit(out_ref, ds, nxs, nys, nzs, *, kind, gate_sq, plane_tol,
                         ok.astype(jnp.float32), d2_4))
 
 
-def _assoc_cell_kernel(cid0_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
+def _assoc_cell_kernel(base8_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
                        kind: str, bw: int, tq: int, gate_sq: float,
                        plane_tol: float, eigen_ratio: float,
                        half_len: float):
@@ -222,9 +251,13 @@ def _assoc_cell_kernel(cid0_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
     nslot = jax.lax.rem(i + 1, 2)
 
     def dma(idx, s):
-        # one contiguous cell-window DMA (bandwidth-bound, ~3-4.6 KB rows)
+        # one contiguous cell-window DMA (bandwidth-bound, ~3-4.6 KB rows).
+        # The window start is align8(cid0) passed as base8 = start // 8 and
+        # multiplied back HERE: Mosaic must statically prove the HBM slice
+        # offset divisible by the (8, 128) sublane tiling, and `x * 8` is
+        # provable where an opaque prefetched scalar is not.
         return pltpu.make_async_copy(
-            cand_ref.at[pl.ds(cid0_ref[idx], tq)], scratch.at[s],
+            cand_ref.at[pl.ds(base8_ref[idx] * 8, tq + 8)], scratch.at[s],
             sem.at[s])
 
     @pl.when(i == 0)
@@ -237,9 +270,9 @@ def _assoc_cell_kernel(cid0_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
         dma(i + 1, nslot).start()
 
     q = q_ref[:]                                     # (TQ, 8)
-    local = q[:, 4].astype(jnp.int32)                # cid - c0, in [0, TQ)
+    local = q[:, 4].astype(jnp.int32)                # cid - base, [0, TQ+8)
     oh = (local[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (tq, tq), 1)).astype(jnp.float32)
+        jnp.int32, (tq, tq + 8), 1)).astype(jnp.float32)
     dma(i, slot).wait()
     # one-hot row select: exact (single nonzero per reduction, f32 HIGHEST)
     crow = jax.lax.dot_general(oh, scratch[slot], (((1,), (0,)), ((), ())),
@@ -262,13 +295,17 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
     """Fused association over cell-sorted queries.
 
     cand_flat: (Ctot, 8·3·bw) block-planar candidate rows (all streams'
-      cell slots flattened, padded so every ``[cid0, cid0+tq)`` window is
-      in-bounds).
+      cell slots flattened, padded so every ``[align8(cid0),
+      align8(cid0) + tq + 8)`` window is in-bounds — align8 rounds the
+      window start DOWN to a multiple of 8 for the Mosaic HBM-slice
+      sublane-tiling constraint, so callers pad tq + 8 rows past the
+      largest cid).
     cid0: (N/tq,) i32 — first query's flattened cell slot per tile
       (cid is non-decreasing within each tile by the cache-build sort).
     q8: (N, 8) f32 — [x, y, z, poison, local_cid, 0, 0, 0] per query,
       poison > 0 masks the query (spilled / invalid / solve-skipped),
-      local_cid = cid - cid0[tile] ∈ [0, tq).
+      local_cid = cid - cid0[tile] ∈ [0, tq); the align8 remainder is
+      folded in here, not by the caller.
 
     Returns (N, 8) f32 packed factors (see OUT_W column map). N must be a
     multiple of tq, and tiles must not straddle stream boundaries (Q per
@@ -279,6 +316,9 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
     if bw == 0:
         bw = w3 // 24
     assert n % tq == 0, (n, tq)
+    base8 = jnp.floor_divide(cid0, 8)
+    rem = (cid0 - base8 * 8).astype(q8.dtype)        # [0, 8) per tile
+    q8 = q8.at[:, 4].add(jnp.repeat(rem, tq))        # local vs align8 base
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tq,),
@@ -290,7 +330,8 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
         out_specs=pl.BlockSpec((tq, OUT_W), lambda i, c: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tq, w3), jnp.float32),   # double-buffered windows
+            # double-buffered windows, +8 rows for the align8 start
+            pltpu.VMEM((2, tq + 8, w3), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -302,7 +343,7 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, OUT_W), jnp.float32),
         interpret=interpret,
-    )(cid0, q8, cand_flat)
+    )(base8, q8, cand_flat)
 
 
 def assoc_xla(d2: jnp.ndarray, near: jnp.ndarray, gate_sq: float,

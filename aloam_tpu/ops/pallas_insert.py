@@ -86,11 +86,16 @@ def _merge_kernel(pts_ref, int_ref, cell_ref, vox_ref, px_ref, py_ref,
         cand_z = jnp.where(match_p, pz_ref[:, p:p + 1], cand_z)
         cand_i = jnp.where(match_p, pi_ref[:, p:p + 1], cand_i)
 
-        # append: extract the current-min-priority slot, consume it
+        # append: extract the current-min-priority slot, consume it.
+        # Ties are SYSTEMATIC here (every empty slot shares prio 0.0), so
+        # the lowest-index tie-break must be explicit — Mosaic's argmin
+        # ties HIGH (measured on v5e; see pallas_knn.min_argmin_low). The
+        # shared iota_k keeps this unrolled loop's VMEM footprint flat.
         can = pv & ~hm & (app_c < float(bk))
-        sl = jnp.argmin(prio_cur, axis=1)
         chosen = jnp.min(prio_cur, axis=1, keepdims=True)
-        wsel = can & (iota_k == sl[:, None])
+        low = jnp.min(jnp.where(prio_cur == chosen, iota_k, jnp.int32(bk)),
+                      axis=1, keepdims=True)
+        wsel = can & (iota_k == low)
         wr_any = wr_any | wsel
         a_x = jnp.where(wsel, px_ref[:, p:p + 1], a_x)
         a_y = jnp.where(wsel, py_ref[:, p:p + 1], a_y)
@@ -137,8 +142,11 @@ def _merge_kernel(pts_ref, int_ref, cell_ref, vox_ref, px_ref, py_ref,
                                              "interpret"))
 def _merge_tiles_flat(pts_tile, int_tile, cell_tile, vox_tile,
                       px, py, pz, pi, pvox, meta,
-                      cell_size: float, leaf: float, tb: int = 256,
+                      cell_size: float, leaf: float, tb: int = 128,
                       interpret: bool = False):
+    # tb=256 with a multi-tile grid exceeds the 16 MB scoped-VMEM limit
+    # (the unrolled p_cap append loop's live set, double-buffered by the
+    # Mosaic pipeline, measured 18.7 MB on v5e); 128 fits with headroom.
     n, w3 = pts_tile.shape
     bk = w3 // 3
     p_cap = px.shape[-1]

@@ -28,6 +28,20 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = float("inf")
 
 
+def min_argmin_low(x):
+    """(min, lowest-index argmin) along axis 1.
+
+    Mosaic lowers ``jnp.argmin``/``argmax`` with HIGHEST-index tie-breaks
+    on TPU (measured on v5e) — the opposite of XLA/NumPy — so every
+    in-kernel tie-break goes through this explicit min + first-equal-index
+    form instead. Two VPU reductions; the ``jnp.min`` was being computed
+    anyway everywhere this is used."""
+    mn = jnp.min(x, axis=1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    am = jnp.min(jnp.where(x == mn, iota, jnp.int32(2 ** 30)), axis=1)
+    return mn[:, 0], am
+
+
 def select_passes(crow, q, bw: int, k: int):
     """Shared k-pass gated selection over block-planar candidate rows —
     the ONE implementation both this kernel and the fused association
@@ -53,9 +67,9 @@ def select_passes(crow, q, bw: int, k: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, width), 1)
     ds, nxs, nys, nzs = [], [], [], []
     for _ in range(k):
-        am = jnp.argmin(d2, axis=1)
+        mn, am = min_argmin_low(d2)
         sel = iota == am[:, None]
-        ds.append(jnp.min(d2, axis=1))
+        ds.append(mn)
         nxs.append(jnp.sum(jnp.where(sel, xs, 0.0), axis=1))
         nys.append(jnp.sum(jnp.where(sel, ys, 0.0), axis=1))
         nzs.append(jnp.sum(jnp.where(sel, zs, 0.0), axis=1))

@@ -64,8 +64,9 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, m_chunk), 1)
 
     def upd(best, d2, c, ring_c=None, best_ring=None):
-        loc = jnp.min(d2, axis=1)
-        am = jnp.argmin(d2, axis=1)
+        # lowest-index tie-break must be explicit: Mosaic argmin ties HIGH
+        from aloam_tpu.ops.pallas_knn import min_argmin_low
+        loc, am = min_argmin_low(d2)
         better = loc < best[0]
         bd = jnp.where(better, loc, best[0])
         bi = jnp.where(better, am + c * m_chunk, best[1])

@@ -246,11 +246,12 @@ def verify_pallas_kernels():
     tq, bwa = 256, 48
     wa = 8 * bwa
     n_cells, nq = 96, 2 * tq
+    pad_rows = n_cells + tq + 8   # ASSOC_PAD contract (+8: align8 window)
     cand = rng.uniform(-1.0, 1.0,
-                       size=(n_cells + tq, 8, 3, bwa)).astype(np.float32)
-    far = rng.uniform(size=(n_cells + tq, 8, 1, bwa)) < 0.1
+                       size=(pad_rows, 8, 3, bwa)).astype(np.float32)
+    far = rng.uniform(size=(pad_rows, 8, 1, bwa)) < 0.1
     cand_flat = np.where(far, 1e9, cand).astype(np.float32).reshape(
-        n_cells + tq, 3 * wa)
+        pad_rows, 3 * wa)
     cida = np.sort(rng.integers(0, n_cells, size=nq)).astype(np.int32)
     qa = rng.uniform(-0.8, 0.8, size=(nq, 3)).astype(np.float32)
     cid0 = cida[::tq].copy()

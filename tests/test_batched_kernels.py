@@ -397,11 +397,12 @@ def test_pallas_assoc_cell_matches_xla(rng):
     tq, bw = 64, 16
     w = 8 * bw
     n_cells, n = 40, 4 * tq
-    cand = rng.uniform(-1.0, 1.0,
-                       size=(n_cells + tq, 8, 3, bw)).astype(np.float32)
-    far = rng.uniform(size=(n_cells + tq, 8, 1, bw)) < 0.1
+    pad_rows = n_cells + tq + 8      # gridmap.ASSOC_PAD contract: +8 for
+    cand = rng.uniform(-1.0, 1.0,    # the kernel's align8 window start
+                       size=(pad_rows, 8, 3, bw)).astype(np.float32)
+    far = rng.uniform(size=(pad_rows, 8, 1, bw)) < 0.1
     cand = np.where(far, 1e9, cand).astype(np.float32)
-    cand_flat = cand.reshape(n_cells + tq, 3 * w)
+    cand_flat = cand.reshape(pad_rows, 3 * w)
 
     cid = np.sort(rng.integers(0, n_cells, size=n)).astype(np.int32)
     q = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
