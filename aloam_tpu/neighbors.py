@@ -166,7 +166,8 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
                        ref_mask: jnp.ndarray, ref_ring: jnp.ndarray,
                        nearby_scan: int, want_same_ring: bool,
                        chunk: int = 8192,
-                       force_kernel_interpret: bool = False):
+                       force_kernel_interpret: bool = False,
+                       ring_seg: int = 0):
     """Batched odom_window_mins: sel (B,Q,3), ref (B,M,3). Identical
     per-stream semantics; on TPU the whole search runs as one fused Pallas
     kernel with the reference cloud resident in VMEM (ops/pallas_odom.py —
@@ -192,7 +193,8 @@ def odom_window_mins_b(sel: jnp.ndarray, ref: jnp.ndarray,
                        ref_ring.astype(jnp.float32)[:, :, None],
                        big).reshape(ref.shape[0], 1, -1)], axis=1)
         outs = window_mins(sel - center, ref_p, float(nearby_scan),
-                           interpret=force_kernel_interpret)
+                           interpret=force_kernel_interpret,
+                           ring_seg=ring_seg)
         if not want_same_ring:
             return outs[0], outs[1], outs[2], outs[3]
         return outs

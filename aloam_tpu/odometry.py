@@ -161,6 +161,15 @@ def transform_to_end_b(pc: PointCloud, q, t, cfg: AloamConfig) -> PointCloud:
     return pc._replace(xyz=end, intensity=jnp.floor(pc.intensity))
 
 
+def _ring_seg_of(last: PointCloud, seg: int, cfg: AloamConfig) -> int:
+    """Static ring-segment stride of a frontend ring_heads cloud, or 0
+    (no kernel chunk-skip) when the cloud's capacity doesn't carry the
+    layout (e.g. a caller passed a differently-assembled cloud). seg is
+    the per-ring slice features.ring_heads used; rows past R*seg are
+    tail padding (mask False), which the kernel's poison already skips."""
+    return seg if last.xyz.shape[1] >= cfg.scan_lines * seg else 0
+
+
 def edge_correspondences_b(sharp: PointCloud, last: PointCloud,
                            q, t, cfg: AloamConfig) -> solver.EdgeFactors:
     """Batched edge_correspondences (leaves carry a leading stream axis)."""
@@ -168,9 +177,13 @@ def edge_correspondences_b(sharp: PointCloud, last: PointCloud,
     from aloam_tpu.utils.batch import bgather
     s = _point_s(sharp, cfg) if cfg.distortion else None
     sel = _transform_to_start_b(q, t, sharp.xyz, s)
+    # corner_last is frontend ring_heads-segmented: ring r's points live
+    # only in rows [r*seg, (r+1)*seg) — lets the kernel skip pass-2 chunks
+    # outside the NN ring window (see pallas_odom.window_mins ring_seg)
+    seg = _ring_seg_of(last, cfg.n_regions * cfg.max_less_sharp, cfg)
     d2_nn, nn, d2_diff, idx2 = odom_window_mins_b(
         sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
-        want_same_ring=False, chunk=cfg.knn_chunk)
+        want_same_ring=False, chunk=cfg.knn_chunk, ring_seg=seg)
     valid = sharp.mask & (d2_nn < cfg.dist_sq_threshold) \
         & (d2_diff < cfg.dist_sq_threshold)
     return solver.EdgeFactors(p=sharp.xyz, a=bgather(last.xyz, nn),
@@ -184,9 +197,11 @@ def plane_correspondences_b(flat: PointCloud, last: PointCloud,
     from aloam_tpu.utils.batch import bgather
     s = _point_s(flat, cfg) if cfg.distortion else None
     sel = _transform_to_start_b(q, t, flat.xyz, s)
+    seg = _ring_seg_of(
+        last, min(cfg.ring_cap, cfg.less_flat_cap // cfg.scan_lines), cfg)
     d2_nn, nn, val3, idx3, val2, idx2 = odom_window_mins_b(
         sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
-        want_same_ring=True, chunk=cfg.knn_chunk)
+        want_same_ring=True, chunk=cfg.knn_chunk, ring_seg=seg)
     valid = flat.mask & (d2_nn < cfg.dist_sq_threshold) \
         & (val2 < cfg.dist_sq_threshold) & (val3 < cfg.dist_sq_threshold)
 

@@ -44,6 +44,7 @@ operands.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -194,7 +195,7 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
 # cell window [align8(cid0), align8(cid0) + TQ + 8) stays in-bounds
 # (spilled queries sit at slot cell_cap, so the last window reaches
 # cell_cap + TQ + 7; the +8 covers the kernel's align8 window start).
-ASSOC_TQ = 256
+ASSOC_TQ = int(_os.environ.get("ALOAM_ASSOC_TQ", "256"))
 ASSOC_PAD = ASSOC_TQ + 8
 
 

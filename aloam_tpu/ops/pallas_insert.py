@@ -27,6 +27,7 @@ definitions); the interpret-mode test pins the two bit-for-bit.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -142,8 +143,10 @@ def _merge_kernel(pts_ref, int_ref, cell_ref, vox_ref, px_ref, py_ref,
                                              "interpret"))
 def _merge_tiles_flat(pts_tile, int_tile, cell_tile, vox_tile,
                       px, py, pz, pi, pvox, meta,
-                      cell_size: float, leaf: float, tb: int = 128,
+                      cell_size: float, leaf: float, tb: int = 0,
                       interpret: bool = False):
+    if not tb:
+        tb = int(_os.environ.get("ALOAM_INSERT_TB", "128"))
     # tb=256 with a multi-tile grid exceeds the 16 MB scoped-VMEM limit
     # (the unrolled p_cap append loop's live set, double-buffered by the
     # Mosaic pipeline, measured 18.7 MB on v5e); 128 fits with headroom.

@@ -30,7 +30,7 @@ _INF = float("inf")
 
 
 def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
-                   nearby: float):
+                   nearby: float, ring_seg: int):
     sel = sel_ref[0]                          # (TQ, 4): x y z 0
     m_total = ref_ref.shape[2]
     n_chunks = m_total // m_chunk
@@ -88,16 +88,43 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
          jnp.full((tq,), 1e9, jnp.float32)))
 
     # ---- pass 2: ring-window mins around ring_nn -------------------------
+    # Both pass-2 outputs live within |ring - br| <= nearby. When the
+    # caller declares the reference ring-SEGMENTED (ring r occupies rows
+    # [r*ring_seg, (r+1)*ring_seg), the frontend ring_heads layout), a
+    # chunk's geometric ring range is static arithmetic of c, so chunks
+    # outside the tile's [min(br), max(br)] ± nearby window are skipped
+    # whole — at HDL-64 shapes a 256-query tile spans ~11 of 64 rings,
+    # so ~3/4 of pass 2's chunks skip. Poisoned rows (ring = 1e9) never
+    # contribute to either output, so the static range stays valid.
+    if ring_seg > 0:
+        br_real = jnp.where(br < 1e8, br, -jnp.inf)
+        lo = jnp.min(jnp.where(br < 1e8, br, jnp.inf)) - nearby
+        hi = jnp.max(br_real) + nearby
+        any_unfound = jnp.max(jnp.where(br < 1e8, 0.0, 1.0)) > 0.0
+        # a query whose pass-1 NN was never found (empty cloud) has no
+        # pass-2 window either — but keep the scan exhaustive in that
+        # case anyway (cheap: only pre-init frames hit it)
+        lo = jnp.where(any_unfound, -jnp.inf, lo)
+        hi = jnp.where(any_unfound, jnp.inf, hi)
+
     def body2(c, st):
-        dd, di, sd, si = st
-        d2 = d2_of(c)
-        adiff = jnp.abs(ring_of(c) - br[:, None])
-        w_diff = (adiff >= 1.0) & (adiff <= nearby)
-        dd, di = upd((dd, di), jnp.where(w_diff, d2, _INF), c)
-        gidx = iota + c * m_chunk
-        w_same = (adiff < 0.5) & (gidx != bi[:, None])
-        sd, si = upd((sd, si), jnp.where(w_same, d2, _INF), c)
-        return dd, di, sd, si
+        def compute(st):
+            dd, di, sd, si = st
+            d2 = d2_of(c)
+            adiff = jnp.abs(ring_of(c) - br[:, None])
+            w_diff = (adiff >= 1.0) & (adiff <= nearby)
+            dd, di = upd((dd, di), jnp.where(w_diff, d2, _INF), c)
+            gidx = iota + c * m_chunk
+            w_same = (adiff < 0.5) & (gidx != bi[:, None])
+            sd, si = upd((sd, si), jnp.where(w_same, d2, _INF), c)
+            return dd, di, sd, si
+
+        if ring_seg <= 0:
+            return compute(st)
+        c_rlo = ((c * m_chunk) // ring_seg).astype(jnp.float32)
+        c_rhi = (((c + 1) * m_chunk - 1) // ring_seg).astype(jnp.float32)
+        overlap = (c_rhi >= lo) & (c_rlo <= hi)
+        return jax.lax.cond(overlap, compute, lambda st: st, st)
 
     dd, di, sd, si = jax.lax.fori_loop(
         0, n_chunks, body2,
@@ -111,14 +138,20 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nearby", "tq", "m_chunk", "interpret"))
+                   static_argnames=("nearby", "tq", "m_chunk", "interpret",
+                                    "ring_seg"))
 def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
                 nearby: float, tq: int = 256, m_chunk: int = 2048,
-                interpret: bool = False):
+                interpret: bool = False, ring_seg: int = 0):
     """sel (B, Q, 3); ref_planar (B, 4, M) [x|y|z|ring], invalid poisoned.
 
     Returns (d2_nn, idx_nn, d2_diff, idx_diff, d2_same, idx_same), each
     (B, Q) — idx as int32, d2 +inf where no candidate.
+
+    ring_seg > 0 declares the reference ring-segmented: ring r's points
+    (and only ring r's) live in rows [r*ring_seg, (r+1)*ring_seg). That
+    layout makes pass 2's ring window a static chunk range, enabling the
+    chunk skip above. Output-identical to ring_seg=0.
     """
     bsz, q_n, _ = sel.shape
     m = ref_planar.shape[2]
@@ -132,7 +165,8 @@ def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
     sel4 = jnp.pad(sel, ((0, 0), (0, 0), (0, 1)))
     qt = (q_n + pad_q) // tq
     out = pl.pallas_call(
-        functools.partial(_window_kernel, m_chunk=m_chunk, nearby=nearby),
+        functools.partial(_window_kernel, m_chunk=m_chunk, nearby=nearby,
+                          ring_seg=ring_seg),
         grid=(bsz, qt),
         in_specs=[
             pl.BlockSpec((1, tq, 4), lambda b, i: (b, i, 0),

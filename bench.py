@@ -392,6 +392,27 @@ def verify_pallas_kernels():
     assert np.allclose(np.asarray(pal[2]), np.min(d2_diff, axis=2),
                        rtol=1e-3, atol=1e-3), \
         "compiled window_mins d2_diff mismatch"
+
+    # ring_seg > 0 (the pass-2 chunk skip the in-pipeline calls use) must
+    # be output-identical to the exhaustive compiled scan on a
+    # ring-segmented cloud (head-packed segments, poisoned tails)
+    n_rings, seg = 16, 128
+    ms = n_rings * seg
+    ring_s = np.repeat(np.arange(n_rings), seg)[None].repeat(bsz, 0)
+    fill = rng.integers(seg // 2, seg, size=(bsz, n_rings))
+    mask_s = (np.arange(seg)[None, None, :]
+              < fill[:, :, None]).reshape(bsz, ms)
+    ref_s = rng.uniform(-10, 10, size=(bsz, ms, 3)).astype(np.float32)
+    ref_sp = np.concatenate(
+        [np.where(mask_s[:, None, :], np.moveaxis(ref_s, 1, 2), big),
+         np.where(mask_s[:, :, None], ring_s[..., None].astype(np.float32),
+                  big).reshape(bsz, 1, ms)], axis=1)
+    full = window_mins(jnp.asarray(sel), jnp.asarray(ref_sp), 2.5)
+    skip = window_mins(jnp.asarray(sel), jnp.asarray(ref_sp), 2.5,
+                       ring_seg=seg)
+    for j, (a, b) in enumerate(zip(full, skip)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            f"compiled window_mins ring_seg skip output {j} mismatch"
     return disabled
 
 

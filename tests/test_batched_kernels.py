@@ -250,6 +250,36 @@ def test_pallas_window_mins_matches_xla(rng):
             np.testing.assert_array_equal(a[has], b[has])
 
 
+def test_pallas_window_mins_ring_seg_skip_is_exact(rng):
+    """ring_seg > 0 (the pass-2 chunk skip for ring_heads-segmented
+    reference clouds) must be output-identical to the exhaustive scan on a
+    correctly-segmented cloud, including per-ring tail padding."""
+    from aloam_tpu.ops.pallas_odom import window_mins
+
+    bsz, n_rings, seg = 2, 16, 64
+    m = n_rings * seg
+    q = 96
+    sel = rng.uniform(-10, 10, size=(bsz, q, 3)).astype(np.float32)
+    ref = rng.uniform(-10, 10, size=(bsz, m, 3)).astype(np.float32)
+    ring = np.repeat(np.arange(n_rings), seg)[None].repeat(bsz, 0)
+    # head-packed segments: the tail ~30% of each ring is padding
+    fill = rng.integers(seg // 2, seg, size=(bsz, n_rings))
+    mask = (np.arange(seg)[None, None, :]
+            < fill[:, :, None]).reshape(bsz, m)
+
+    big = np.float32(1e9)
+    ref_p = np.concatenate(
+        [np.where(mask[:, None, :], np.moveaxis(ref, 1, 2), big),
+         np.where(mask[:, :, None], ring[..., None].astype(np.float32),
+                  big).reshape(bsz, 1, m)], axis=1)
+    full = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), 2.0,
+                       tq=32, m_chunk=128, interpret=True)
+    skip = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), 2.0,
+                       tq=32, m_chunk=128, interpret=True, ring_seg=seg)
+    for a, b in zip(full, skip):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_knn_b_cell_spill_is_counted(grids):
     """Queries past cell_cap distinct cells come back gated (+inf d2) and
     counted — capacity losses are never silent."""
