@@ -13,6 +13,7 @@ constant-velocity warm start mirrors the never-reset ``para_q/para_t``
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -161,29 +162,43 @@ def transform_to_end_b(pc: PointCloud, q, t, cfg: AloamConfig) -> PointCloud:
     return pc._replace(xyz=end, intensity=jnp.floor(pc.intensity))
 
 
-def _ring_seg_of(last: PointCloud, seg: int, cfg: AloamConfig) -> int:
-    """Static ring-segment stride of a frontend ring_heads cloud, or 0
-    (no kernel chunk-skip) when the cloud's capacity doesn't carry the
-    layout (e.g. a caller passed a differently-assembled cloud). seg is
-    the per-ring slice features.ring_heads used; rows past R*seg are
-    tail padding (mask False), which the kernel's poison already skips."""
-    return seg if last.xyz.shape[1] >= cfg.scan_lines * seg else 0
+def _frontend_ring_seg(last: PointCloud, seg: int, cfg: AloamConfig) -> int:
+    """Static ring-segment stride of a frontend ring_heads cloud. ONLY
+    valid for odometry-state handoff clouds (``OdomState.corner_last`` /
+    ``surf_last``), which are always ``features.ring_heads`` outputs —
+    ring r's points live in rows [r*seg, (r+1)*seg), tail rows are padding
+    (mask False, poisoned in the kernel). Callers with any other cloud
+    must pass ring_seg=0 to the correspondence functions (exhaustive scan,
+    always correct); provenance cannot be inferred from capacity alone
+    (advisor round 3), so this helper is called only from odometry_step_b
+    where the invariant is constructed.
+
+    ``ALOAM_ODOM_RING_SEG=0`` force-disables the chunk-skip for perf
+    A/B runs (read at trace time: set it before the process's first
+    odometry trace, not mid-run)."""
+    if os.environ.get("ALOAM_ODOM_RING_SEG") == "0":
+        return 0
+    assert last.xyz.shape[-2] >= cfg.scan_lines * seg, \
+        (last.xyz.shape, cfg.scan_lines, seg)
+    return seg
 
 
 def edge_correspondences_b(sharp: PointCloud, last: PointCloud,
-                           q, t, cfg: AloamConfig) -> solver.EdgeFactors:
-    """Batched edge_correspondences (leaves carry a leading stream axis)."""
+                           q, t, cfg: AloamConfig,
+                           ring_seg: int = 0) -> solver.EdgeFactors:
+    """Batched edge_correspondences (leaves carry a leading stream axis).
+
+    ring_seg > 0 declares ``last`` ring_heads-segmented (ring r's points
+    only in rows [r*ring_seg, (r+1)*ring_seg)) — lets the kernel skip
+    pass-2 chunks outside the NN ring window (pallas_odom.window_mins).
+    The default 0 is exhaustive and correct for any cloud."""
     from aloam_tpu.neighbors import odom_window_mins_b
     from aloam_tpu.utils.batch import bgather
     s = _point_s(sharp, cfg) if cfg.distortion else None
     sel = _transform_to_start_b(q, t, sharp.xyz, s)
-    # corner_last is frontend ring_heads-segmented: ring r's points live
-    # only in rows [r*seg, (r+1)*seg) — lets the kernel skip pass-2 chunks
-    # outside the NN ring window (see pallas_odom.window_mins ring_seg)
-    seg = _ring_seg_of(last, cfg.n_regions * cfg.max_less_sharp, cfg)
     d2_nn, nn, d2_diff, idx2 = odom_window_mins_b(
         sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
-        want_same_ring=False, chunk=cfg.knn_chunk, ring_seg=seg)
+        want_same_ring=False, chunk=cfg.knn_chunk, ring_seg=ring_seg)
     valid = sharp.mask & (d2_nn < cfg.dist_sq_threshold) \
         & (d2_diff < cfg.dist_sq_threshold)
     return solver.EdgeFactors(p=sharp.xyz, a=bgather(last.xyz, nn),
@@ -191,17 +206,16 @@ def edge_correspondences_b(sharp: PointCloud, last: PointCloud,
 
 
 def plane_correspondences_b(flat: PointCloud, last: PointCloud,
-                            q, t, cfg: AloamConfig) -> solver.PlaneFactors:
-    """Batched plane_correspondences."""
+                            q, t, cfg: AloamConfig,
+                            ring_seg: int = 0) -> solver.PlaneFactors:
+    """Batched plane_correspondences (ring_seg as edge_correspondences_b)."""
     from aloam_tpu.neighbors import odom_window_mins_b
     from aloam_tpu.utils.batch import bgather
     s = _point_s(flat, cfg) if cfg.distortion else None
     sel = _transform_to_start_b(q, t, flat.xyz, s)
-    seg = _ring_seg_of(
-        last, min(cfg.ring_cap, cfg.less_flat_cap // cfg.scan_lines), cfg)
     d2_nn, nn, val3, idx3, val2, idx2 = odom_window_mins_b(
         sel, last.xyz, last.mask, last.ring(), int(cfg.nearby_scan),
-        want_same_ring=True, chunk=cfg.knn_chunk, ring_seg=seg)
+        want_same_ring=True, chunk=cfg.knn_chunk, ring_seg=ring_seg)
     valid = flat.mask & (d2_nn < cfg.dist_sq_threshold) \
         & (val2 < cfg.dist_sq_threshold) & (val3 < cfg.dist_sq_threshold)
 
@@ -225,11 +239,19 @@ def odometry_step_b(state: OdomState, feats: ScanFeatures,
         (e, p), qq, tt, cfg.odom_lm_iters, cfg.huber_delta))
     metrics = None
     degen = None
+    # state.corner_last/surf_last are always frontend ring_heads outputs
+    # (constructed below from feats.less_sharp/less_flat; transform_to_end
+    # preserves row layout), so the chunk-skip segment strides hold
+    seg_e = _frontend_ring_seg(
+        state.corner_last, cfg.n_regions * cfg.max_less_sharp, cfg)
+    seg_p = _frontend_ring_seg(
+        state.surf_last,
+        min(cfg.ring_cap, cfg.less_flat_cap // cfg.scan_lines), cfg)
     for _ in range(cfg.odom_outer_rounds):
         edges = edge_correspondences_b(feats.sharp, state.corner_last,
-                                       q, t, cfg)
+                                       q, t, cfg, ring_seg=seg_e)
         planes = plane_correspondences_b(feats.flat, state.surf_last,
-                                         q, t, cfg)
+                                         q, t, cfg, ring_seg=seg_p)
         q, t, stats = lm_b(edges, planes, q, t)
         d = stats.clamped + stats.nonfinite
         degen = d if degen is None else degen + d

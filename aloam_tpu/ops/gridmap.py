@@ -114,6 +114,34 @@ def count_near_b(grid: GridMap, center: jnp.ndarray,
     return jnp.sum(live & near, axis=(1, 2))
 
 
+def invalidate_outside(grid: GridMap, center: jnp.ndarray,
+                       half_cells: jnp.ndarray):
+    """Eagerly clear every live entry outside center ± half_cells — the
+    reference's rolling-window discard (laserMapping.cpp:323-507 frees
+    out-of-window cubes the moment the pose nears a boundary). Lazy
+    eviction (insert_b's overflow priority) only reclaims these slots
+    under bucket pressure, so a leave-and-return trajectory could
+    re-associate against points the reference would have dropped.
+
+    One masked compare + where over the i16 cell table (a few MB, no
+    gathers). center (3,) pose cell coords (or (B, 3) with batched grid
+    leaves); returns (grid, n_cleared)."""
+    c = _viewp(grid.cell).astype(jnp.int32)          # (..., H, 3, Bk)
+    live = c[..., 0, :] != _EMPTY
+    ctr = center[..., None, :, None]                 # (..., 1, 3, 1)
+    out = live & jnp.any(jnp.abs(c - ctr)
+                         > half_cells[None, :, None], axis=-2)
+    out3 = jnp.repeat(out[..., None, :], 3, axis=-2)  # (..., H, 3, Bk)
+    kill = out3.reshape(grid.cell.shape)
+    n_axes = tuple(range(out.ndim - 2, out.ndim))
+    return GridMap(
+        pts=jnp.where(kill, _FAR, grid.pts),
+        inten=jnp.where(out, 0.0, grid.inten),
+        cell=jnp.where(kill, _EMPTY, grid.cell),
+        vox=jnp.where(out, 0, grid.vox),
+    ), jnp.sum(out, axis=n_axes)
+
+
 def _cells_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
     return jnp.floor(pts / cell_size).astype(jnp.int32)
 
@@ -196,6 +224,11 @@ def knn(grid: GridMap, query: jnp.ndarray, k: int, cell_size: float,
 # (spilled queries sit at slot cell_cap, so the last window reaches
 # cell_cap + TQ + 7; the +8 covers the kernel's align8 window start).
 ASSOC_TQ = int(_os.environ.get("ALOAM_ASSOC_TQ", "256"))
+if ASSOC_TQ <= 0 or ASSOC_TQ % 8:
+    raise ValueError(
+        f"ALOAM_ASSOC_TQ={ASSOC_TQ}: must be a positive multiple of 8 "
+        "(the fused association kernel's align8 cell-window contract); "
+        "it must also divide the per-stream query count")
 ASSOC_PAD = ASSOC_TQ + 8
 
 

@@ -145,8 +145,7 @@ def _merge_tiles_flat(pts_tile, int_tile, cell_tile, vox_tile,
                       px, py, pz, pi, pvox, meta,
                       cell_size: float, leaf: float, tb: int = 0,
                       interpret: bool = False):
-    if not tb:
-        tb = int(_os.environ.get("ALOAM_INSERT_TB", "128"))
+    assert tb > 0, "resolve ALOAM_INSERT_TB in merge_tiles, not under jit"
     # tb=256 with a multi-tile grid exceeds the 16 MB scoped-VMEM limit
     # (the unrolled p_cap append loop's live set, double-buffered by the
     # Mosaic pipeline, measured 18.7 MB on v5e); 128 fits with headroom.
@@ -189,7 +188,15 @@ def merge_tiles(pts_tile, s_int, cell_tile, vox_tile,
                 ppx, ppy, ppz, ppi, pvox, cnt, center, window,
                 cell_size: float, leaf: float, interpret: bool = False):
     """Drop-in twin of ``gridmap._merge_dense_xla`` (same signature and
-    return contract) running the fused kernel over flattened bucket rows."""
+    return contract) running the fused kernel over flattened bucket rows.
+
+    ``ALOAM_INSERT_TB`` is resolved HERE (outside jit) so it participates
+    in the static-argument cache key — reading it at trace time made
+    in-process sweeps silently re-measure the first compilation."""
+    tb = int(_os.environ.get("ALOAM_INSERT_TB", "128"))
+    if tb <= 0 or tb % 8:
+        raise ValueError(
+            f"ALOAM_INSERT_TB={tb}: must be a positive multiple of 8")
     bsz, cap_c, cap_p = ppx.shape
     bk = vox_tile.shape[-1]
     n = bsz * cap_c
@@ -208,7 +215,7 @@ def merge_tiles(pts_tile, s_int, cell_tile, vox_tile,
     o_pts, o_int, o_cell, o_vox, stats = _merge_tiles_flat(
         flat(pts_tile), flat(s_int), flat(cell_tile), flat(vox_tile),
         flat(ppx), flat(ppy), flat(ppz), flat(ppi), flat(pvox),
-        meta.reshape(n, 8), cell_size, leaf, interpret=interpret)
+        meta.reshape(n, 8), cell_size, leaf, tb=tb, interpret=interpret)
 
     def unflat(a):
         return a.reshape((bsz, cap_c) + a.shape[1:])

@@ -75,6 +75,29 @@ def init_state(cfg: AloamConfig) -> SlamState:
                      frame=jnp.int32(0))
 
 
+def _gated_mapping(run_mapping, state: SlamState, cfg: AloamConfig):
+    """Run the mapping stage, modulo-gated by ``mapping_skip_frame``
+    (laserOdometry.cpp:570-591: odometry publishes to mapping every
+    skipFrameNum frames). The skip branch returns the map state unchanged
+    and all-zero metrics of exactly the run branch's shapes/dtypes
+    (derived via eval_shape, so single and batched paths share this)."""
+    if cfg.mapping_skip_frame <= 1:
+        return run_mapping(state.map)
+
+    def skip(map_state):
+        _, mm_shape = jax.eval_shape(run_mapping, map_state)
+        return map_state, jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), mm_shape)
+
+    # batched states carry a (B,) frame counter, but all streams advance
+    # in lock-step (step_b bumps every entry together), so stream 0's
+    # frame gates the whole batch; reshape(-1)[0] also passes a scalar
+    # frame through unchanged
+    frame = jnp.reshape(state.frame, (-1,))[0]
+    return jax.lax.cond(frame % cfg.mapping_skip_frame == 0,
+                        run_mapping, skip, state.map)
+
+
 def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
          cfg: AloamConfig):
     """Process one scan end-to-end."""
@@ -95,19 +118,7 @@ def step(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
         return mp.mapping_step(map_state, odom.corner_last, odom.surf_last,
                                odom.q_w, odom.t_w, cfg)
 
-    if cfg.mapping_skip_frame <= 1:
-        map_state, mm = run_mapping(state.map)
-    else:
-        def skip(map_state):
-            zero = jnp.int32(0)
-            return map_state, mp.MapMetrics(
-                from_map_corner=zero, from_map_surf=zero,
-                corner_factors=zero, surf_factors=zero,
-                solved=jnp.asarray(False), overflow=zero, evicted=zero,
-                degenerate=zero)
-        map_state, mm = jax.lax.cond(
-            state.frame % cfg.mapping_skip_frame == 0,
-            run_mapping, skip, state.map)
+    map_state, mm = _gated_mapping(run_mapping, state, cfg)
 
     # one packed vector (a dict of scalars costs one host transfer *per
     # entry* — ~80 ms each through the TPU tunnel)
@@ -154,12 +165,11 @@ def step_b(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
     NOT jax.vmap(step): vmapped gathers/scatters lower ~100x slower on this
     backend (utils/batch.py), so every gather/scatter-bearing kernel has a
     flat-op ``*_b`` twin and this mirrors step() on top of them. Metrics
-    come out as (B, n_metrics). Requires mapping_skip_frame <= 1 (batched
-    streams map every frame, the HDL-64 launch default)."""
+    come out as (B, n_metrics). ``mapping_skip_frame > 1`` gates mapping
+    with the same modulo condition as step() — all streams advance in
+    lock-step, so the VLP-16 launch's skip=2 applies batch-wide."""
     from aloam_tpu.frontend import extract_features_b, register_scan_b
 
-    assert cfg.mapping_skip_frame <= 1, \
-        "batched step supports mapping_skip_frame <= 1 only"
     rc, curv, ovf = register_scan_b(xyz, mask, cfg)
     feats = extract_features_b(rc, curv, cfg)
 
@@ -168,9 +178,14 @@ def step_b(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
     q_hf = geo.qmul(state.map.q_wmap_wodom, odom.q_w)
     t_hf = geo.qrot(state.map.q_wmap_wodom, odom.t_w) + state.map.t_wmap_wodom
 
-    map_state, mm = mp.mapping_step_b(state.map, odom.corner_last,
-                                      odom.surf_last, odom.q_w, odom.t_w,
-                                      cfg)
+    def run_mapping(map_state):
+        return mp.mapping_step_b(map_state, odom.corner_last,
+                                 odom.surf_last, odom.q_w, odom.t_w, cfg)
+
+    # all streams advance in lock-step (state.frame is one scalar), so one
+    # modulo gate covers the whole batch — same decoupling as the single
+    # path (laserOdometry.cpp:570-591)
+    map_state, mm = _gated_mapping(run_mapping, state, cfg)
 
     bsz = xyz.shape[0]
     f32 = jnp.float32
@@ -206,19 +221,37 @@ def step_b(state: SlamState, xyz: jnp.ndarray, mask: jnp.ndarray,
 
 
 def run_sequence(state: SlamState, xyz_seq: jnp.ndarray,
-                 mask_seq: jnp.ndarray, cfg: AloamConfig):
-    """`lax.scan` the fused step over a device-resident (F, n_raw, ·) scan
-    stack; returns (final state, stacked outputs). Zero host round-trips.
+                 mask_seq: jnp.ndarray, cfg: AloamConfig,
+                 scan: bool = False):
+    """Stream a device-resident (F, n_raw, ·) scan stack through the fused
+    step; returns (final state, stacked outputs).
 
-    Note: on the current TPU runtime the scan carry does not alias the big
-    map-cube buffers in place, so each iteration pays a full state copy —
-    for throughput, prefer a host loop over a donated `make_step_fn` (which
-    aliases via jit donation); this driver is kept for API completeness and
-    determinism tests."""
-    def body(st, inp):
-        x, m = inp
-        return step(st, x, m, cfg)
-    return jax.lax.scan(body, state, (xyz_seq, mask_seq))
+    Default (``scan=False``): a host loop over the donated jitted step —
+    the map-table buffers alias in place via jit donation, so per-frame
+    cost matches the bench's steady state. The input ``state`` is consumed
+    (donated); outputs are stacked on host with a leading frame axis.
+
+    ``scan=True`` compiles the whole sequence as one ``lax.scan`` — a
+    single XLA program with zero host round-trips, kept for determinism
+    tests and export. On the current TPU runtime the scan carry does NOT
+    alias the big map tables in place (each iteration pays a full state
+    copy, measured round 2), so it is strictly slower for streaming; the
+    host loop is the supported throughput path."""
+    if scan:
+        def body(st, inp):
+            x, m = inp
+            return step(st, x, m, cfg)
+        return jax.lax.scan(body, state, (xyz_seq, mask_seq))
+    import numpy as np
+    step_fn = make_step_fn(cfg, donate=True)
+    outs = []
+    for f in range(xyz_seq.shape[0]):
+        state, out = step_fn(state, xyz_seq[f], mask_seq[f])
+        outs.append(out)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])),
+        *outs)
+    return state, stacked
 
 
 def make_step_fn(cfg: AloamConfig, donate: bool = True):

@@ -197,6 +197,84 @@ def odometry_frame(sharp, flat, last_ls, last_lf, q_lc, t_lc, rounds=2,
 
 
 # ------------------------------------------------------------------ mapping
+def _knn5(sel, mp, chunk=512):
+    """Exact 5-NN of each query row against ``mp``: returns (idx (Q,5) in
+    increasing-distance order, d2 of the 5th (Q,)). Chunked argpartition —
+    same set and order as ``np.argsort(d2)[:5]`` for distinct distances."""
+    q_n = sel.shape[0]
+    idx = np.empty((q_n, 5), np.int64)
+    d5 = np.empty(q_n)
+    for i0 in range(0, q_n, chunk):
+        s = sel[i0:i0 + chunk]
+        d2 = ((s[:, None, :] - mp[None]) ** 2).sum(-1)
+        part = np.argpartition(d2, 4, axis=1)[:, :5]
+        dsel = np.take_along_axis(d2, part, 1)
+        order = np.argsort(dsel, axis=1, kind="stable")
+        idx[i0:i0 + chunk] = np.take_along_axis(part, order, 1)
+        d5[i0:i0 + chunk] = np.take_along_axis(dsel, order, 1)[:, 4]
+    return idx, d5
+
+
+def _corner_assoc_vec(map_corner, corner_stack, sel, gate_sq, eigen_ratio,
+                      edge_half):
+    """Vectorized twin of mapping_frame's per-point corner loop (gated 5-NN
+    + PCA line fit, laserMapping.cpp:562-649)."""
+    idx, d5 = _knn5(sel, map_corner)
+    keep = d5 < gate_sq
+    near = map_corner[idx]                              # (Q, 5, 3)
+    c = near.mean(1)
+    x = near - c[:, None]
+    cov = np.einsum("qij,qik->qjk", x, x)
+    vals, vecs = np.linalg.eigh(cov)
+    keep &= vals[:, 2] > eigen_ratio * vals[:, 1]
+    direction = vecs[:, :, 2]
+    return (corner_stack[keep], (c + edge_half * direction)[keep],
+            (c - edge_half * direction)[keep])
+
+
+def _surf_assoc_vec(map_surf, surf_stack, sel, gate_sq, plane_tol):
+    """Vectorized twin of the per-point surf loop (gated 5-NN + LSQ plane
+    fit A·n = −1, laserMapping.cpp:651-719). pinv == lstsq for these
+    full-rank 5x3 systems (both SVD minimum-norm)."""
+    idx, d5 = _knn5(sel, map_surf)
+    keep = d5 < gate_sq
+    near = map_surf[idx]                                # (Q, 5, 3)
+    n = -np.linalg.pinv(near).sum(-1)                   # pinv @ (-1 vector)
+    norm = np.linalg.norm(n, axis=1)
+    keep &= norm >= 1e-12
+    norm = np.maximum(norm, 1e-300)
+    n_hat = n / norm[:, None]
+    d = 1.0 / norm
+    resid = np.abs(np.einsum("qij,qj->qi", near, n_hat) + d[:, None])
+    keep &= np.all(resid <= plane_tol, axis=1)
+    return surf_stack[keep], n_hat[keep], d[keep]
+
+
+def mapping_frame_vec(map_corner, map_surf, corner_stack, surf_stack,
+                      q_w, t_w, rounds=2, iters=4, gate_sq=1.0,
+                      eigen_ratio=3.0, plane_tol=0.2, edge_half=0.1,
+                      min_corner=10, min_surf=50):
+    """mapping_frame with the per-point association loops vectorized
+    (VERDICT r3 #4: the loops capped the oracle pin at 2-4 frames). Factor
+    math is identical up to summation order; tested equivalent to the
+    literal loop in test_pipeline_oracle."""
+    if map_corner.shape[0] <= min_corner or map_surf.shape[0] <= min_surf:
+        return q_w, t_w
+    for _ in range(rounds):
+        sel = qrot_rows(q_w, corner_stack) + t_w
+        ep, ea, eb = _corner_assoc_vec(map_corner, corner_stack, sel,
+                                       gate_sq, eigen_ratio, edge_half)
+        sel = qrot_rows(q_w, surf_stack) + t_w
+        pp, pn, pd = _surf_assoc_vec(map_surf, surf_stack, sel,
+                                     gate_sq, plane_tol)
+        factors = [("edge", (ep.reshape(-1, 3), ea.reshape(-1, 3),
+                             eb.reshape(-1, 3))),
+                   ("plane", (pp.reshape(-1, 3), pn.reshape(-1, 3),
+                              pd.reshape(-1)))]
+        q_w, t_w = lm_solve(factors, q_w, t_w, iters)
+    return q_w, t_w
+
+
 def mapping_frame(map_corner, map_surf, corner_stack, surf_stack,
                   q_w, t_w, rounds=2, iters=4, gate_sq=1.0,
                   eigen_ratio=3.0, plane_tol=0.2, edge_half=0.1,
@@ -265,9 +343,13 @@ def _voxel_merge(store: dict, pts: np.ndarray, leaf: float):
 
 
 def run_pipeline(scans, scan_lines=16, line_res=0.2, plane_res=0.4,
-                 min_range=0.3):
+                 min_range=0.3, mapping=None):
     """Full oracle trajectory over a list of raw scans. Returns
-    (t_odom (F,3), t_map (F,3), q_map (F,4))."""
+    (t_odom (F,3), t_map (F,3), q_map (F,4)). ``mapping`` selects the
+    mapping-frame implementation (default: the vectorized twin; pass
+    ``mapping_frame`` for the literal per-point loop)."""
+    if mapping is None:
+        mapping = mapping_frame_vec
     q_lc = np.array([1.0, 0, 0, 0])   # frame-to-frame (warm start carries)
     t_lc = np.zeros(3)
     q_wod = np.array([1.0, 0, 0, 0])  # odometry world pose
@@ -304,7 +386,7 @@ def run_pipeline(scans, scan_lines=16, line_res=0.2, plane_res=0.4,
                     if surf_store else np.zeros((0, 3)))
         cs = oreg.voxel_downsample(ls[:, :4], line_res)[:, :3]
         ss = oreg.voxel_downsample(lf[:, :4], plane_res)[:, :3]
-        qw_m, tw_m = mapping_frame(corner_map, surf_map, cs, ss, qw_m, tw_m)
+        qw_m, tw_m = mapping(corner_map, surf_map, cs, ss, qw_m, tw_m)
         q_wm = qmul(qw_m, qconj(q_wod))
         q_wm = q_wm / np.linalg.norm(q_wm)
         t_wm = tw_m - qrot(q_wm, t_wod)

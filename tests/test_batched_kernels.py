@@ -253,15 +253,31 @@ def test_pallas_window_mins_matches_xla(rng):
 def test_pallas_window_mins_ring_seg_skip_is_exact(rng):
     """ring_seg > 0 (the pass-2 chunk skip for ring_heads-segmented
     reference clouds) must be output-identical to the exhaustive scan on a
-    correctly-segmented cloud, including per-ring tail padding."""
+    correctly-segmented cloud, including per-ring tail padding.
+
+    Geometry is deliberately RING-CORRELATED (ring r lives near z = 3r,
+    queries sorted by z) so each 32-query tile's pass-1 NN-ring span is
+    narrow and the skip branch genuinely engages — with ring-uncorrelated
+    random clouds every tile spans all rings and `overlap` is always true,
+    so an off-by-one in the lo/hi window would pass unexercised (advisor
+    round 3). The test replicates the kernel's skip predicate in NumPy and
+    asserts skippable chunks exist before comparing outputs."""
     from aloam_tpu.ops.pallas_odom import window_mins
 
     bsz, n_rings, seg = 2, 16, 64
     m = n_rings * seg
-    q = 96
-    sel = rng.uniform(-10, 10, size=(bsz, q, 3)).astype(np.float32)
-    ref = rng.uniform(-10, 10, size=(bsz, m, 3)).astype(np.float32)
+    q, tq, m_chunk, nearby = 96, 32, 128, 2.0
     ring = np.repeat(np.arange(n_rings), seg)[None].repeat(bsz, 0)
+    # ring r's points near the z = 3r plane; x/y spread keeps NNs honest
+    ref = np.stack([rng.uniform(-10, 10, size=(bsz, m)),
+                    rng.uniform(-10, 10, size=(bsz, m)),
+                    3.0 * ring + rng.uniform(-0.5, 0.5, size=(bsz, m))],
+                   axis=-1).astype(np.float32)
+    # queries z-sorted -> each tq-tile covers ~2 adjacent rings
+    qz = np.sort(rng.uniform(0, 3.0 * (n_rings - 1), size=(bsz, q)), axis=1)
+    sel = np.stack([rng.uniform(-10, 10, size=(bsz, q)),
+                    rng.uniform(-10, 10, size=(bsz, q)), qz],
+                   axis=-1).astype(np.float32)
     # head-packed segments: the tail ~30% of each ring is padding
     fill = rng.integers(seg // 2, seg, size=(bsz, n_rings))
     mask = (np.arange(seg)[None, None, :]
@@ -272,12 +288,29 @@ def test_pallas_window_mins_ring_seg_skip_is_exact(rng):
         [np.where(mask[:, None, :], np.moveaxis(ref, 1, 2), big),
          np.where(mask[:, :, None], ring[..., None].astype(np.float32),
                   big).reshape(bsz, 1, m)], axis=1)
-    full = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), 2.0,
-                       tq=32, m_chunk=128, interpret=True)
-    skip = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), 2.0,
-                       tq=32, m_chunk=128, interpret=True, ring_seg=seg)
+    full = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), nearby,
+                       tq=tq, m_chunk=m_chunk, interpret=True)
+    skip = window_mins(jnp.asarray(sel), jnp.asarray(ref_p), nearby,
+                       tq=tq, m_chunk=m_chunk, interpret=True, ring_seg=seg)
     for a, b in zip(full, skip):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # replicate the kernel's skip predicate: chunk c covers rings
+    # [c*m_chunk//seg, ((c+1)*m_chunk-1)//seg]; a tile skips it when that
+    # range misses [min(br), max(br)] +/- nearby. Assert skips engage.
+    br = np.take_along_axis(ring, np.asarray(full[1]), axis=1).astype(float)
+    n_chunks = m // m_chunk
+    skipped = 0
+    for b in range(bsz):
+        for t in range(q // tq):
+            tile_br = br[b, t * tq:(t + 1) * tq]
+            lo, hi = tile_br.min() - nearby, tile_br.max() + nearby
+            for c in range(n_chunks):
+                c_rlo = (c * m_chunk) // seg
+                c_rhi = ((c + 1) * m_chunk - 1) // seg
+                if not (c_rhi >= lo and c_rlo <= hi):
+                    skipped += 1
+    assert skipped > 0, "constructed data exercised no skip branch"
 
 
 def test_knn_b_cell_spill_is_counted(grids):

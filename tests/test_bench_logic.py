@@ -32,8 +32,8 @@ def test_ladder_reports_best(bench_mod, monkeypatch):
 
     def fake(cfg, batch, n_frames):
         calls.append(batch)
-        return (80.0, 0.05, 0.02, 1e9) if batch == 32 \
-            else (49.0, 0.04, 0.02, 1e9)
+        return (80.0, 1.5, 0.05, 0.02, 1e9) if batch == 32 \
+            else (49.0, 1.0, 0.04, 0.02, 1e9)
 
     monkeypatch.setattr(bench_mod, "bench_batched", fake)
     r = _run_main(bench_mod)
@@ -46,7 +46,7 @@ def test_ladder_falls_back_on_failure(bench_mod, monkeypatch):
     def fake(cfg, batch, n_frames):
         if batch == 32:
             raise RuntimeError("RESOURCE_EXHAUSTED")
-        return 49.0, 0.04, 0.02, 1e9
+        return 49.0, 1.0, 0.04, 0.02, 1e9
 
     monkeypatch.setattr(bench_mod, "bench_batched", fake)
     r = _run_main(bench_mod)
@@ -68,7 +68,7 @@ def test_ladder_probes_64_on_near_linear_scaling(bench_mod, monkeypatch):
 
     def fake(cfg, batch, n_frames):
         calls.append(batch)
-        return {32: 95.0, 16: 49.0, 64: 150.0}[batch], 0.05, 0.02, 1e9
+        return {32: 95.0, 16: 49.0, 64: 150.0}[batch], 1.0, 0.05, 0.02, 1e9
 
     monkeypatch.setattr(bench_mod, "bench_batched", fake)
     r = _run_main(bench_mod)
@@ -82,7 +82,7 @@ def test_ladder_skips_64_on_sublinear_scaling(bench_mod, monkeypatch):
 
     def fake(cfg, batch, n_frames):
         calls.append(batch)
-        return {32: 60.0, 16: 49.0}[batch], 0.05, 0.02, 1e9
+        return {32: 60.0, 16: 49.0}[batch], 1.0, 0.05, 0.02, 1e9
 
     monkeypatch.setattr(bench_mod, "bench_batched", fake)
     r = _run_main(bench_mod)

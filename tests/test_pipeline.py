@@ -59,7 +59,8 @@ def test_full_pipeline_ate(seq):
 
 
 def test_scan_driver_matches_step_loop(seq):
-    """lax.scan over the stacked sequence == python step loop."""
+    """Both run_sequence drivers (host loop over the donated step, and the
+    single-program lax.scan export path) == python step loop."""
     scans, _ = seq
     xs, ms = zip(*(syn.pad_scan(s, CFG.n_raw) for s in scans[:3]))
     xyz_seq = jnp.asarray(np.stack(xs))
@@ -72,11 +73,15 @@ def test_scan_driver_matches_step_loop(seq):
         state, out = step(state, xyz_seq[i], mask_seq[i])
         ts.append(np.asarray(out.t_map))
 
-    state2 = pipeline.init_state(CFG)
-    _, outs = jax.jit(
-        lambda s, x, m: pipeline.run_sequence(s, x, m, CFG))(
-        state2, xyz_seq, mask_seq)
-    np.testing.assert_allclose(np.asarray(outs.t_map), np.stack(ts),
+    _, outs_loop = pipeline.run_sequence(
+        pipeline.init_state(CFG), xyz_seq, mask_seq, CFG)
+    np.testing.assert_allclose(np.asarray(outs_loop.t_map), np.stack(ts),
+                               atol=1e-4)
+
+    _, outs_scan = jax.jit(
+        lambda s, x, m: pipeline.run_sequence(s, x, m, CFG, scan=True))(
+        pipeline.init_state(CFG), xyz_seq, mask_seq)
+    np.testing.assert_allclose(np.asarray(outs_scan.t_map), np.stack(ts),
                                atol=1e-4)
 
 

@@ -29,7 +29,11 @@ CFG = AloamConfig(
     map_table_corner=2048, map_table_surf=4096,
     corner_stack_cap=1024, surf_stack_cap=4096,
 )
-N_FRAMES = 4
+# 20 frames (VERDICT r3 #4): long enough to expose compounding drift,
+# gate-flip sensitivity, and map-growth effects — the 2-4 frame pins of
+# rounds 1-3 only caught gross semantic breaks. Feasible since the
+# oracle's mapping association was vectorized (mapping_frame_vec).
+N_FRAMES = 20
 
 
 @pytest.fixture(scope="module")

@@ -154,3 +154,58 @@ def test_sharded_knn_matches_dense(mesh, rng):
     dd = ((q[:, None] - ref[None]) ** 2).sum(-1)
     top = np.sort(dd, axis=1)[:, :5]
     np.testing.assert_allclose(np.asarray(d2), top, rtol=1e-4, atol=1e-5)
+
+
+def test_step_b_mapping_skip_frame_matches_single():
+    """mapping_skip_frame=2 in the batched step (VLP-16 launch semantics,
+    laserOdometry.cpp:570-591): step_b's modulo gate must reproduce the
+    single path's — mapping runs on even frames, skipped frames keep the
+    map state and report zero mapping metrics, and trajectories agree to
+    the jit noise floor (see test_batched_step_jit_matches_single_per_stream
+    for the tolerance rationale)."""
+    from aloam_tpu import pipeline
+    from aloam_tpu.pipeline import METRIC_NAMES
+    cfg2 = CFG.replace(mapping_skip_frame=2)
+    batch, n_frames = 2, 3
+    xyz, mask, _ = _distinct_streams(batch, n_frames)
+
+    step = pipeline.make_step_fn(cfg2, donate=False)
+    singles, metrics_s = [], []
+    for b in range(batch):
+        st = pipeline.init_state(cfg2)
+        est_b, mets = [], []
+        for f in range(n_frames):
+            st, out = step(st, jnp.asarray(xyz[f, b]),
+                           jnp.asarray(mask[f, b]))
+            est_b.append(np.asarray(out.t_map))
+            mets.append(np.asarray(out.metrics))
+        singles.append(np.stack(est_b))
+        metrics_s.append(np.stack(mets))
+    singles = np.stack(singles)                     # (B, F, 3)
+    metrics_s = np.stack(metrics_s)                 # (B, F, n_metrics)
+
+    bstep = batched_step_jit(cfg2, donate=False)
+    bst = batched_init(cfg2, batch)
+    est, metrics_b = [], []
+    for f in range(n_frames):
+        bst, bout = bstep(bst, jnp.asarray(xyz[f]), jnp.asarray(mask[f]))
+        est.append(np.asarray(bout.t_map))
+        metrics_b.append(np.asarray(bout.metrics))
+    est = np.stack(est, axis=1)                     # (B, F, 3)
+    metrics_b = np.stack(metrics_b, axis=1)         # (B, F, n_metrics)
+
+    np.testing.assert_allclose(est, singles, atol=5e-2)
+    solved = METRIC_NAMES.index("map_solved")
+    nf = METRIC_NAMES.index("map_surf_factors")
+    for f in range(n_frames):
+        ran = (f % 2 == 0)
+        if not ran:
+            # skipped frames report zero mapping metrics in both paths
+            assert np.all(metrics_b[:, f, solved] == 0), f
+            assert np.all(metrics_s[:, f, solved] == 0), f
+            assert np.all(metrics_b[:, f, nf] == 0), f
+            assert np.all(metrics_s[:, f, nf] == 0), f
+        elif f > 0:
+            # mapped frames past the initial empty-map frame do solve
+            assert np.all(metrics_b[:, f, solved] > 0), f
+            assert np.all(metrics_s[:, f, solved] > 0), f
