@@ -86,6 +86,15 @@ class AloamConfig:
                                         # set for batched streams, see knn doc)
     map_cell_cap: int = 2048            # knn_b distinct query cells per
                                         # stream; spills are gated + counted
+    eager_window_evict: bool = True     # clear out-of-window map entries at
+                                        # the top of every mapping step (the
+                                        # reference's rolling-window discard,
+                                        # laserMapping.cpp:323-507). False =
+                                        # lazy only (insert overflow priority
+                                        # reclaims them under bucket
+                                        # pressure) — revisits may then
+                                        # re-associate against stale points
+                                        # the reference would have dropped
     map_cache_reuse: bool = True        # round 2+ reuses round 1's knn
                                         # candidate blocks; queries whose
                                         # base cell moved see a stale block

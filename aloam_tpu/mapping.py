@@ -74,6 +74,23 @@ def _window_cells(cfg: AloamConfig) -> jnp.ndarray:
     return jnp.asarray(np.ceil(half / cfg.knn_cell), jnp.int32)
 
 
+def _eager_evict(state: "MapState", pose_cell: jnp.ndarray,
+                 cfg: AloamConfig):
+    """Rolling-window discard at the top of the mapping step — the eager
+    analog of the reference's cube shift (laserMapping.cpp:323-507), which
+    frees out-of-window cubes before the local map is assembled. Returns
+    (state, n_cleared); a no-op (cleared = 0) when
+    ``cfg.eager_window_evict`` is False (lazy mode: stale entries persist
+    until insert-time bucket pressure reclaims them)."""
+    if not cfg.eager_window_evict:
+        return state, jnp.zeros(pose_cell.shape[:-1], jnp.int32)
+    window = _window_cells(cfg)
+    corner, n_c = gridmap.invalidate_outside(state.corner, pose_cell, window)
+    surf, n_s = gridmap.invalidate_outside(state.surf, pose_cell, window)
+    return state._replace(corner=corner, surf=surf), \
+        (n_c + n_s).astype(jnp.int32)
+
+
 def _local_cells(cfg: AloamConfig) -> jnp.ndarray:
     """Half-extent of the reference's *local* 5×5×3-cube gather around the
     pose cube (I±2, J±2, K±1 of 50 m cubes, laserMapping.cpp:509-529) in
@@ -253,6 +270,7 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
 
     local = _local_cells(cfg)
     pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+    state, cleared = _eager_evict(state, pose_cell, cfg)
     n_map_corner = gridmap.count_near_b(state.corner, pose_cell, local)
     n_map_surf = gridmap.count_near_b(state.surf, pose_cell, local)
     solve_ok = (n_map_corner > cfg.map_min_corner) \
@@ -366,7 +384,8 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
         from_map_corner=n_map_corner, from_map_surf=n_map_surf,
         corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
         overflow=(dc + ds_ + d1 + d2) + dr1 + dr2 + spills,
-        evicted=ev1 + ev2, degenerate=degen, cache_crossed=crossed)
+        evicted=ev1 + ev2 + cleared, degenerate=degen,
+        cache_crossed=crossed)
     return new_state, metrics
 
 
@@ -412,6 +431,7 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     # odometry prior held, exactly as laserMapping.cpp:554,730-733 would
     local = _local_cells(cfg)
     pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+    state, cleared = _eager_evict(state, pose_cell, cfg)
     n_map_corner = gridmap.count_near(state.corner, pose_cell, local)
     n_map_surf = gridmap.count_near(state.surf, pose_cell, local)
     solve_ok = (n_map_corner > cfg.map_min_corner) \
@@ -494,6 +514,7 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     metrics = MapMetrics(
         from_map_corner=n_map_corner, from_map_surf=n_map_surf,
         corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
-        overflow=dc + ds_ + d1 + d2 + dr1 + dr2, evicted=ev1 + ev2,
+        overflow=dc + ds_ + d1 + d2 + dr1 + dr2,
+        evicted=ev1 + ev2 + cleared,
         degenerate=degen, cache_crossed=crossed)
     return new_state, metrics

@@ -192,11 +192,21 @@ def merge_tiles(pts_tile, s_int, cell_tile, vox_tile,
 
     ``ALOAM_INSERT_TB`` is resolved HERE (outside jit) so it participates
     in the static-argument cache key — reading it at trace time made
-    in-process sweeps silently re-measure the first compilation."""
-    tb = int(_os.environ.get("ALOAM_INSERT_TB", "128"))
-    if tb <= 0 or tb % 8:
-        raise ValueError(
-            f"ALOAM_INSERT_TB={tb}: must be a positive multiple of 8")
+    in-process sweeps silently re-measure the first compilation. Unset,
+    the tile height adapts to the point cap: the unrolled p_cap append
+    loop's scoped-VMEM live set scales ~tb*p_cap (measured on v5e:
+    tb=256/p=16 -> 18.7 MB and tb=128/p=48 -> 21.5 MB both blow the
+    16 MB limit; tb=128/p=16 fits with headroom), so keep
+    tb*p_cap <= 2048 and tb <= 128."""
+    cap_p_static = ppx.shape[-1]
+    tb_env = _os.environ.get("ALOAM_INSERT_TB")
+    if tb_env is not None:
+        tb = int(tb_env)
+        if tb <= 0 or tb % 8:
+            raise ValueError(
+                f"ALOAM_INSERT_TB={tb}: must be a positive multiple of 8")
+    else:
+        tb = max(8, min(128, (2048 // max(cap_p_static, 1)) // 8 * 8))
     bsz, cap_c, cap_p = ppx.shape
     bk = vox_tile.shape[-1]
     n = bsz * cap_c

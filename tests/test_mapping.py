@@ -64,6 +64,96 @@ def test_window_eviction_discards_far_map(rng):
     assert int(m.evicted) > 0
 
 
+def test_invalidate_outside_clears_exactly(rng):
+    """gridmap.invalidate_outside clears exactly the out-of-window live
+    entries (single and batched shapes) and leaves in-window ones intact."""
+    pts = np.concatenate([
+        rng.uniform(-5, 5, size=(30, 3)),       # in-window (|cell| <= 3)
+        rng.uniform(30, 40, size=(20, 3)),      # out-of-window
+    ]).astype(np.float32)
+    g = _grid(pts)
+    n0 = int(gridmap.n_valid(g))
+    assert n0 == 50
+    half = jnp.asarray([3, 3, 3], jnp.int32)    # cells of 2 m -> +/- 8 m
+
+    g2, n_cleared = gridmap.invalidate_outside(
+        g, jnp.zeros(3, jnp.int32), half)
+    assert int(n_cleared) == 20
+    assert int(gridmap.n_valid(g2)) == 30
+    kept, _ = gridmap.extract(g2)
+    assert kept.shape[0] == 30 and np.all(np.abs(kept) < 8.0)
+
+    # batched: stream 0 centered at origin, stream 1 at the far cluster
+    gb = gridmap.GridMap(*(jnp.stack([a, a]) for a in g))
+    centers = jnp.asarray([[0, 0, 0], [17, 17, 17]], jnp.int32)
+    gb2, nc = gridmap.invalidate_outside(gb, centers, half)
+    assert nc.shape == (2,)
+    assert int(nc[0]) == 20 and int(nc[1]) == 30
+
+
+def test_eager_evict_discards_left_region_lazy_keeps_it(rng):
+    """Leave-and-return semantics (VERDICT r4 #5): with
+    ``eager_window_evict`` (the reference's rolling-window discard,
+    laserMapping.cpp:323-507) the region left behind is CLEARED the moment
+    the pose's window no longer covers it, so a return finds no local map
+    support (solve gated off — identical to the reference driving back
+    into freed cubes). Lazy mode keeps the stale points and would
+    re-associate against them."""
+    # shrink the window to 3x3x3 cubes x 4 m -> +/- 6 m (3 cells of 2 m)
+    small = CFG.replace(cube_width=3, cube_height=3, cube_depth=3,
+                        cube_size=4.0)
+    pts = rng.uniform(-4, 4, size=(200, 3)).astype(np.float32)
+    corner = _pc(pts, small.corner_stack_cap)
+    surf = _pc(pts, small.surf_stack_cap)
+
+    for eager in (True, False):
+        cfg = small.replace(eager_window_evict=eager)
+        state = mapping.init_state(cfg)
+        state, _ = mapping.mapping_step(state, corner, surf,
+                                        geo.qidentity(), jnp.zeros(3), cfg)
+        assert int(gridmap.n_valid(state.surf)) > 0
+        # drive 30 m away: origin leaves the +/-6 m window
+        t_far = jnp.asarray([30.0, 0.0, 0.0], jnp.float32)
+        state, _ = mapping.mapping_step(state, corner, surf,
+                                        geo.qidentity(), t_far, cfg)
+        surf_pts, _ = gridmap.extract(state.surf)
+        near_origin = int(np.sum(np.abs(surf_pts).max(axis=1) < 5.0))
+        if eager:
+            assert near_origin == 0, "eager evict left stale origin points"
+            # returning finds no local support -> prior held (ref behavior)
+            state, m = mapping.mapping_step(
+                state, corner, surf, geo.qidentity(), jnp.zeros(3), cfg)
+            assert int(m.from_map_surf) == 0
+            assert not bool(m.solved)
+        else:
+            assert near_origin > 0, "lazy mode should keep stale points"
+
+
+def test_eager_evict_is_transparent_inside_window(rng):
+    """While the trajectory never leaves the rolling window (the common
+    case), eager and lazy modes are bit-identical — the discard only ever
+    touches entries associations can no longer legally see."""
+    pts = rng.uniform(-20, 20, size=(200, 3)).astype(np.float32)
+    corner = _pc(pts, CFG.corner_stack_cap)
+    surf = _pc(pts + 0.05, CFG.surf_stack_cap)
+    results = []
+    for eager in (True, False):
+        cfg = CFG.replace(eager_window_evict=eager)
+        state = mapping.init_state(cfg)
+        traj = []
+        for f in range(3):
+            t = jnp.asarray([2.0 * f, 0.0, 0.0], jnp.float32)
+            state, m = mapping.mapping_step(state, corner, surf,
+                                            geo.qidentity(), t, cfg)
+            traj.append(np.asarray(state.t_w))
+        results.append((np.stack(traj), np.asarray(state.q_w),
+                        gridmap.extract(state.surf)[0]))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+    np.testing.assert_array_equal(np.sort(results[0][2], axis=0),
+                                  np.sort(results[1][2], axis=0))
+
+
 def _grid(map_pts):
     g = gridmap.empty(4096, 64)
     n = map_pts.shape[0]
