@@ -71,20 +71,22 @@ class AloamConfig:
     map_edge_half_len: float = 0.1      # :615 (virtual edge point offset, m)
 
     # --- padded static capacities (ours, not the reference's) -----------
-    # Caps below were sized from measured HDL-64 occupancy maxima at B=16
-    # (tools/occupancy_stats.py, round 3: surf stack 2.7k, corner stack
-    # 2.1k, ~700 query cells, ~570 touched buckets) with ~2-3x margins —
-    # every kernel's cost scales with the CAP, not the content, and all
-    # cap pressure is surfaced in the overflow/spill metrics, never silent.
+    # Caps below are sized from measured HDL-64 occupancy maxima at B=16
+    # (tools/occupancy_stats.py, round 4: surf stack 2708, corner stack
+    # 2090, 694 query cells, 563 touched buckets) with ~1.5x margins —
+    # every kernel's cost scales with the CAP, not the content (round-4
+    # profile: the insert sort, dense lists, tile gathers, scatter-back
+    # and the assoc kernel are all cap-linear), and all cap pressure is
+    # surfaced in the overflow/spill metrics, never silent.
     n_raw: int = 131072                 # raw input points per scan (padded)
     ring_cap: int = 2560                # max points per ring after bucketing
     less_flat_cap: int = 32768          # less-flat (surf-last) cloud capacity
-    corner_stack_cap: int = 4096        # downsampled input corner stack
-    surf_stack_cap: int = 8192          # downsampled input surf stack
+    corner_stack_cap: int = 3072        # downsampled input corner stack
+    surf_stack_cap: int = 4096          # downsampled input surf stack
     knn_chunk: int = 8192               # streaming top-k chunk (neighbor axis)
     map_query_chunk: int = 0            # gridmap.knn query chunking (0 = off;
                                         # set for batched streams, see knn doc)
-    map_cell_cap: int = 2048            # knn_b distinct query cells per
+    map_cell_cap: int = 1024            # knn_b distinct query cells per
                                         # stream; spills are gated + counted
     eager_window_evict: bool = True     # clear out-of-window map entries at
                                         # the top of every mapping step (the
@@ -105,7 +107,10 @@ class AloamConfig:
                                         # round (exact laserMapping.cpp
                                         # :562-727 semantics, ~+8% step)
     map_insert_point_cap: int = 16      # insert_b dense-list points/bucket
-    map_insert_cell_cap: int = 2048     # insert_b touched buckets/stream
+                                        # (measured max rank 32: the worst
+                                        # single bucket drops points, counted
+                                        # in overflow, re-inserted next frame)
+    map_insert_cell_cap: int = 1024     # insert_b touched buckets/stream
                                         # (spills -> dropped, counted)
     # persistent spatial-hash map (ops/gridmap.py): the 2x2x2-cell query
     # block is exact iff knn_cell >= 2 * sqrt(map_knn_gate_sq); bucket caps
