@@ -30,14 +30,14 @@ _INF = float("inf")
 
 
 def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
-                   nearby: float, ring_seg: int):
+                   m_chunk1: int, nearby: float, ring_seg: int):
     sel = sel_ref[0]                          # (TQ, 4): x y z 0
     m_total = ref_ref.shape[2]
     n_chunks = m_total // m_chunk
     tq = sel.shape[0]
     q2 = jnp.sum(sel * sel, axis=1, keepdims=True)           # (TQ, 1)
 
-    def d2_of(c):
+    def d2_of(c, mc):
         # dynamic chunk loads from the VMEM ref inside fori_loop bodies:
         # an unrolled python loop kept every chunk temporary live and
         # OOM'd the VMEM stack, and lax.dynamic_slice on VALUES has no
@@ -47,43 +47,49 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
         # HIGHEST keeps f32 accuracy (a bare bf16 pass would corrupt the
         # 25 m² gates). Poisoned refs sit at 1e9 → d2 ≈ 3e18, failing
         # every merge, like the direct form.
-        sl = pl.ds(c * m_chunk, m_chunk)
-        refc = ref_ref[0, :, sl]                             # (4, m_chunk)
+        sl = pl.ds(c * mc, mc)
+        refc = ref_ref[0, :, sl]                             # (4, mc)
         rx = refc[0:1, :]
         ry = refc[1:2, :]
         rz = refc[2:3, :]
-        r2 = rx * rx + ry * ry + rz * rz                     # (1, m_chunk)
+        r2 = rx * rx + ry * ry + rz * rz                     # (1, mc)
         cross = jax.lax.dot_general(
             sel, refc, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)             # (TQ, m_chunk)
+            precision=jax.lax.Precision.HIGHEST)             # (TQ, mc)
         return jnp.maximum(q2 - 2.0 * cross + r2, 0.0)
 
-    def ring_of(c):
-        return ref_ref[0, 3, pl.ds(c * m_chunk, m_chunk)][None, :]
+    def ring_of(c, mc):
+        return ref_ref[0, 3, pl.ds(c * mc, mc)][None, :]
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, m_chunk), 1)
 
-    def upd(best, d2, c, ring_c=None, best_ring=None):
+    def upd(best, d2, c, mc=m_chunk, ring_c=None, best_ring=None):
         # lowest-index tie-break must be explicit: Mosaic argmin ties HIGH
         from aloam_tpu.ops.pallas_knn import min_argmin_low
         loc, am = min_argmin_low(d2)
         better = loc < best[0]
         bd = jnp.where(better, loc, best[0])
-        bi = jnp.where(better, am + c * m_chunk, best[1])
+        bi = jnp.where(better, am + c * mc, best[1])
         if ring_c is None:
             return bd, bi
-        sel_r = iota == am[:, None]
+        sel_r = jax.lax.broadcasted_iota(
+            jnp.int32, d2.shape, 1) == am[:, None]
         r_at = jnp.sum(jnp.where(sel_r, ring_c, 0.0), axis=1)
         return bd, bi, jnp.where(better, r_at, best_ring)
 
     # ---- pass 1: global 1-NN (+ the neighbor's ring) ---------------------
+    # Pass 1 has no chunk skip (the NN may be anywhere), so it runs over
+    # COARSER chunks (m_chunk1 >= m_chunk): the per-chunk argmin/merge
+    # machinery dominates over the d2 matmul at SLAM shapes, and bigger
+    # chunks amortize it. Merging order is unchanged (strict <, lowest
+    # index inside a chunk), so the result is bit-identical.
     def body1(c, st):
         bd, bi, br = st
-        ring_c = jnp.broadcast_to(ring_of(c), (tq, m_chunk))
-        return upd((bd, bi), d2_of(c), c, ring_c, br)
+        ring_c = jnp.broadcast_to(ring_of(c, m_chunk1), (tq, m_chunk1))
+        return upd((bd, bi), d2_of(c, m_chunk1), c, m_chunk1, ring_c, br)
 
     bd, bi, br = jax.lax.fori_loop(
-        0, n_chunks, body1,
+        0, m_total // m_chunk1, body1,
         (jnp.full((tq,), _INF, jnp.float32), jnp.zeros((tq,), jnp.int32),
          jnp.full((tq,), 1e9, jnp.float32)))
 
@@ -110,8 +116,8 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
     def body2(c, st):
         def compute(st):
             dd, di, sd, si = st
-            d2 = d2_of(c)
-            adiff = jnp.abs(ring_of(c) - br[:, None])
+            d2 = d2_of(c, m_chunk)
+            adiff = jnp.abs(ring_of(c, m_chunk) - br[:, None])
             w_diff = (adiff >= 1.0) & (adiff <= nearby)
             dd, di = upd((dd, di), jnp.where(w_diff, d2, _INF), c)
             gidx = iota + c * m_chunk
@@ -138,10 +144,11 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nearby", "tq", "m_chunk", "interpret",
-                                    "ring_seg"))
+                   static_argnames=("nearby", "tq", "m_chunk", "m_chunk1",
+                                    "interpret", "ring_seg"))
 def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
                 nearby: float, tq: int = 256, m_chunk: int = 2048,
+                m_chunk1: int = 0,
                 interpret: bool = False, ring_seg: int = 0):
     """sel (B, Q, 3); ref_planar (B, 4, M) [x|y|z|ring], invalid poisoned.
 
@@ -152,11 +159,27 @@ def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
     (and only ring r's) live in rows [r*ring_seg, (r+1)*ring_seg). That
     layout makes pass 2's ring window a static chunk range, enabling the
     chunk skip above. Output-identical to ring_seg=0.
+
+    m_chunk1 is pass 1's (coarser) chunk; 0 picks 2*m_chunk — pass 1
+    cannot skip chunks, so it only pays per-chunk merge overhead from fine
+    granularity, but the pass-1 temporaries ((TQ, m_chunk1) d2 + argmin
+    machinery) live on the scoped-VMEM stack: 4*2048 measured 18.9 MB > the
+    16 MB limit on v5e. Must be a multiple of m_chunk; output-identical
+    for any value. ``ALOAM_ODOM_P1_CHUNK`` overrides for sweeps (read at
+    trace time).
     """
+    import os as _os
+    if m_chunk1 <= 0:
+        m_chunk1 = int(_os.environ.get("ALOAM_ODOM_P1_CHUNK",
+                                       str(2 * m_chunk)))
+    if m_chunk1 % m_chunk:
+        raise ValueError(f"m_chunk1={m_chunk1} not a multiple of {m_chunk}")
     bsz, q_n, _ = sel.shape
     m = ref_planar.shape[2]
+    # don't pad a small cloud up to a coarse pass-1 chunk
+    m_chunk1 = min(m_chunk1, -(-m // m_chunk) * m_chunk)
     pad_q = (-q_n) % tq
-    pad_m = (-m) % m_chunk
+    pad_m = (-m) % m_chunk1
     if pad_q:
         sel = jnp.pad(sel, ((0, 0), (0, pad_q), (0, 0)))
     if pad_m:
@@ -165,7 +188,8 @@ def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
     sel4 = jnp.pad(sel, ((0, 0), (0, 0), (0, 1)))
     qt = (q_n + pad_q) // tq
     out = pl.pallas_call(
-        functools.partial(_window_kernel, m_chunk=m_chunk, nearby=nearby,
+        functools.partial(_window_kernel, m_chunk=m_chunk,
+                          m_chunk1=m_chunk1, nearby=nearby,
                           ring_seg=ring_seg),
         grid=(bsz, qt),
         in_specs=[
