@@ -109,20 +109,6 @@ def main():
                                   [(rc,) for rc, _, _ in rcs])
 
     # scatter-based segment means alone (the tail of _voxel_core)
-    def seg_scatter(rc):
-        srt = vox_sort_only(rc)
-        k_s, ji_s = srt[0], srt[1]
-        vals_s = jnp.stack(srt[2:], axis=-1)
-        mask_s = k_s < 2 ** 30
-
-        def diff(a):
-            return a != jnp.roll(a, 1, axis=1)
-        new_seg = (diff(k_s) | diff(ji_s))
-        new_seg = new_seg.at[:, 0].set(True) & mask_s
-        return vox._segment_means_batch(vals_s, mask_s, new_seg, c)
-    res["vox_sort_plus_scatter"] = timeit(jax.jit(seg_scatter),
-                                          [(rc,) for rc, _, _ in rcs])
-
     print(json.dumps({kk: round(vv, 2) for kk, vv in res.items()}))
 
 
