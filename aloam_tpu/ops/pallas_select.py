@@ -104,10 +104,20 @@ def _select_kernel(curv_ref, bcum_ref, spep_ref, label_ref, *,
 def select_rings(curv: jnp.ndarray, bcum: jnp.ndarray, spep: jnp.ndarray,
                  n_regions: int, max_sharp: int, max_less_sharp: int,
                  max_flat: int, nms_window: int, curv_thr: float,
-                 tr: int = 8, interpret: bool = False) -> jnp.ndarray:
+                 tr: int = 0, interpret: bool = False) -> jnp.ndarray:
     """curv/bcum (R', C) f32; spep (R', 2*n_regions) f32 [sp.. | ep..]
     (ep = -1 disables a region). Returns label (R', C) int32 with
-    cloudLabel semantics: 2 sharp, 1 less-sharp, -1 flat, 0 other."""
+    cloudLabel semantics: 2 sharp, 1 less-sharp, -1 flat, 0 other.
+
+    tr is the ring-row tile height; 0 resolves ``ALOAM_SELECT_TR``
+    (default 64, trace-time read — restart the process to sweep). The 144
+    sequential picks are dependency-latency-bound on (tr, C) tiles, so a
+    taller tile amortizes them across more rings per grid step (v5e B=16
+    step: tr=8 -> 145.9, 32 -> 150.5, 64 -> 151.2 scans/s); rows are
+    independent, so any tr is output-identical."""
+    if tr <= 0:
+        import os as _os
+        tr = int(_os.environ.get("ALOAM_SELECT_TR", "64"))
     r, c = curv.shape
     pad = (-r) % tr
     if pad:
