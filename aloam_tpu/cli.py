@@ -21,7 +21,7 @@ import os
 import time
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="HDL-64",
                    choices=["VLP-16", "HDL-32", "HDL-64"])
@@ -54,7 +54,11 @@ def main(argv=None):
                    help="write per-ring debug clouds of the given frame to "
                         "rings_FRAME.npz (the PUB_EACH_LINE channel, "
                         "scanRegistration.cpp:444-454)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
     os.environ.setdefault(

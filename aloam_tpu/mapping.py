@@ -74,21 +74,25 @@ def _window_cells(cfg: AloamConfig) -> jnp.ndarray:
     return jnp.asarray(np.ceil(half / cfg.knn_cell), jnp.int32)
 
 
-def _eager_evict(state: "MapState", pose_cell: jnp.ndarray,
-                 cfg: AloamConfig):
-    """Rolling-window discard at the top of the mapping step — the eager
-    analog of the reference's cube shift (laserMapping.cpp:323-507), which
-    frees out-of-window cubes before the local map is assembled. Returns
-    (state, n_cleared); a no-op (cleared = 0) when
-    ``cfg.eager_window_evict`` is False (lazy mode: stale entries persist
-    until insert-time bucket pressure reclaims them)."""
-    if not cfg.eager_window_evict:
-        return state, jnp.zeros(pose_cell.shape[:-1], jnp.int32)
+def _eager_evict_count(state: "MapState", pose_cell: jnp.ndarray,
+                       cfg: AloamConfig):
+    """Rolling-window discard + local-map census at the top of the
+    mapping step — the eager analog of the reference's cube shift
+    (laserMapping.cpp:323-507) fused with the 5×5×3-cube point count
+    that gates the solve (:531-554): one table pass per class instead of
+    two (gridmap.evict_and_count). Returns
+    (state, n_cleared, n_map_corner, n_map_surf); with
+    ``cfg.eager_window_evict`` False the discard is skipped (lazy mode:
+    stale entries persist until insert-time bucket pressure) and only
+    the census runs."""
     window = _window_cells(cfg)
-    corner, n_c = gridmap.invalidate_outside(state.corner, pose_cell, window)
-    surf, n_s = gridmap.invalidate_outside(state.surf, pose_cell, window)
+    local = _local_cells(cfg)
+    corner, n_c, near_c = gridmap.evict_and_count(
+        state.corner, pose_cell, window, local, cfg.eager_window_evict)
+    surf, n_s, near_s = gridmap.evict_and_count(
+        state.surf, pose_cell, window, local, cfg.eager_window_evict)
     return state._replace(corner=corner, surf=surf), \
-        (n_c + n_s).astype(jnp.int32)
+        (n_c + n_s).astype(jnp.int32), near_c, near_s
 
 
 def _local_cells(cfg: AloamConfig) -> jnp.ndarray:
@@ -268,11 +272,9 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     q_w = geo.qmul(state.q_wmap_wodom, q_wodom)
     t_w = geo.qrot(state.q_wmap_wodom, t_wodom) + state.t_wmap_wodom
 
-    local = _local_cells(cfg)
     pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
-    state, cleared = _eager_evict(state, pose_cell, cfg)
-    n_map_corner = gridmap.count_near_b(state.corner, pose_cell, local)
-    n_map_surf = gridmap.count_near_b(state.surf, pose_cell, local)
+    state, cleared, n_map_corner, n_map_surf = _eager_evict_count(
+        state, pose_cell, cfg)
     solve_ok = (n_map_corner > cfg.map_min_corner) \
         & (n_map_surf > cfg.map_min_surf)
 
@@ -429,11 +431,9 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     # local 5×5×3-cube neighborhood of the (initial-guess) pose — after a
     # teleport/revisit far from map mass the solve is skipped and the
     # odometry prior held, exactly as laserMapping.cpp:554,730-733 would
-    local = _local_cells(cfg)
     pose_cell = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
-    state, cleared = _eager_evict(state, pose_cell, cfg)
-    n_map_corner = gridmap.count_near(state.corner, pose_cell, local)
-    n_map_surf = gridmap.count_near(state.surf, pose_cell, local)
+    state, cleared, n_map_corner, n_map_surf = _eager_evict_count(
+        state, pose_cell, cfg)
     solve_ok = (n_map_corner > cfg.map_min_corner) \
         & (n_map_surf > cfg.map_min_surf)
 

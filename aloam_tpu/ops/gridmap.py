@@ -142,6 +142,40 @@ def invalidate_outside(grid: GridMap, center: jnp.ndarray,
     ), jnp.sum(out, axis=n_axes)
 
 
+def evict_and_count(grid: GridMap, center: jnp.ndarray,
+                    window_half: jnp.ndarray, local_half: jnp.ndarray,
+                    evict: bool = True):
+    """Fused rolling-window discard + local-map census: ONE pass over the
+    i16 cell table computes both ``invalidate_outside``'s out-of-window
+    clear and ``count_near``'s in-local live count (each alone reads the
+    full multi-MB table; the mapping step needs both back-to-back).
+    Correct because the local 5×5×3-cube box is strictly inside the
+    rolling window box, so the census is identical before and after the
+    clear. With ``evict=False`` the table passes through unchanged (lazy
+    mode) and only the census is computed.
+
+    center (3,) or (B, 3) pose cell coords matching the grid leaves.
+    Returns (grid, n_cleared, n_near)."""
+    c = _viewp(grid.cell).astype(jnp.int32)          # (..., H, 3, Bk)
+    live = c[..., 0, :] != _EMPTY
+    d = jnp.abs(c - center[..., None, :, None])
+    near = live & jnp.all(d <= local_half[None, :, None], axis=-2)
+    n_axes = tuple(range(near.ndim - 2, near.ndim))
+    n_near = jnp.sum(near, axis=n_axes)
+    if not evict:
+        zeros = jnp.zeros_like(n_near)
+        return grid, zeros, n_near
+    out = live & jnp.any(d > window_half[None, :, None], axis=-2)
+    out3 = jnp.repeat(out[..., None, :], 3, axis=-2)
+    kill = out3.reshape(grid.cell.shape)
+    return GridMap(
+        pts=jnp.where(kill, _FAR, grid.pts),
+        inten=jnp.where(out, 0.0, grid.inten),
+        cell=jnp.where(kill, _EMPTY, grid.cell),
+        vox=jnp.where(out, 0, grid.vox),
+    ), jnp.sum(out, axis=n_axes), n_near
+
+
 def _cells_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
     return jnp.floor(pts / cell_size).astype(jnp.int32)
 

@@ -91,6 +91,46 @@ def test_invalidate_outside_clears_exactly(rng):
     assert int(nc[0]) == 20 and int(nc[1]) == 30
 
 
+def test_evict_and_count_matches_separate_passes(rng):
+    """The fused single-pass gridmap.evict_and_count ==
+    invalidate_outside + count_near run separately (single and batched,
+    eager and lazy)."""
+    pts = np.concatenate([
+        rng.uniform(-5, 5, size=(30, 3)),
+        rng.uniform(30, 40, size=(20, 3)),
+    ]).astype(np.float32)
+    g = _grid(pts)
+    window = jnp.asarray([4, 4, 4], jnp.int32)   # out-of-window exists
+    local = jnp.asarray([2, 2, 2], jnp.int32)    # local strictly inside
+    center = jnp.zeros(3, jnp.int32)
+
+    ref_g, ref_cleared = gridmap.invalidate_outside(g, center, window)
+    ref_near = gridmap.count_near(g, center, local)
+    for evict in (True, False):
+        g2, cleared, near = gridmap.evict_and_count(
+            g, center, window, local, evict)
+        assert int(near) == int(ref_near)
+        if evict:
+            assert int(cleared) == int(ref_cleared)
+            for a, b in zip(g2, ref_g):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            assert int(cleared) == 0
+            for a, b in zip(g2, g):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    gb = gridmap.GridMap(*(jnp.stack([a, a]) for a in g))
+    centers = jnp.asarray([[0, 0, 0], [17, 17, 17]], jnp.int32)
+    gb2, cl_b, near_b = gridmap.evict_and_count(gb, centers, window, local)
+    rb, cl_ref = gridmap.invalidate_outside(gb, centers, window)
+    assert near_b.shape == (2,) and cl_b.shape == (2,)
+    np.testing.assert_array_equal(np.asarray(cl_b), np.asarray(cl_ref))
+    assert int(near_b[0]) == int(gridmap.count_near_b(
+        gb, centers, local)[0])
+    for a, b in zip(gb2, rb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eager_evict_discards_left_region_lazy_keeps_it(rng):
     """Leave-and-return semantics (VERDICT r4 #5): with
     ``eager_window_evict`` (the reference's rolling-window discard,
