@@ -83,7 +83,13 @@ def _time_blocks(step, state, dev_frames, n_blocks=_N_BLOCKS):
     trajectory, final state). Each block forces a host transfer
     (block_until_ready can return early on this runtime). The caller
     takes the MEDIAN block — one-sample runs halved the round-3 headline
-    on a noisy tunnel (VERDICT r3 weak #1)."""
+    on a noisy tunnel (VERDICT r3 weak #1).
+
+    The staged inputs' H2D transfers are lazily queued and would
+    otherwise drain INTO the first timed block (~10x slowdown of block 1
+    through the ~70 MB/s tunnel): fence them with one tiny on-device
+    reduction per frame before timing starts."""
+    _ = np.asarray(sum(jnp.sum(m) for _, m in dev_frames))
     n = len(dev_frames)
     per_block = max(1, n // n_blocks)
     outs, secs = [], []

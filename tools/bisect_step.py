@@ -48,6 +48,8 @@ def main():
 
     dev = [(jnp.asarray(xyz[2 + f]), jnp.asarray(mask[2 + f]))
            for f in range(n_frames)]
+    # fence the staged H2D transfers so they don't drain into block 1
+    _ = np.asarray(sum(jnp.sum(m) for _, m in dev))
     per_block = max(1, n_frames // n_blocks)
     rates = []
     for blk in range(n_blocks):
