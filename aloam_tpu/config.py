@@ -165,6 +165,8 @@ PRESETS: dict[str, AloamConfig] = {
     "HDL-64": AloamConfig(
         scan_lines=64, minimum_range=5.0,
         line_resolution=0.4, plane_resolution=0.8,
-        n_raw=131072, ring_cap=2560, less_flat_cap=40960,
+        # less_flat measured max 30536 at B=16 (round 4); the cap drives
+        # the odometry surf search's M and the stack-voxel sort width
+        n_raw=131072, ring_cap=2560, less_flat_cap=36864,
     ),
 }

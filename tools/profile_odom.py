@@ -114,8 +114,10 @@ def main():
              jnp.where(ref_mask[:, :, None],
                        ring.astype(jnp.float32)[:, :, None],
                        big).reshape(ref.shape[0], 1, -1)], axis=1)
+        # m_chunk1 capped at 4096: 2*4096 pass-1 temporaries blow the
+        # 16 MB scoped-VMEM stack (see window_mins docstring)
         return window_mins(sel - center, ref_p, float(cfg.nearby_scan),
-                           m_chunk=ch)
+                           m_chunk=ch, m_chunk1=min(2 * ch, 4096))
 
     for ch in (1024, 2048, 4096):
         j = jax.jit(lambda fe, st, _c=ch: one(fe, st, _c))
