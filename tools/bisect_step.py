@@ -23,7 +23,6 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import bench  # noqa: E402
-from aloam_tpu.config import PRESETS  # noqa: E402
 from aloam_tpu.parallel import batched_init, batched_step_jit  # noqa: E402
 
 
@@ -31,14 +30,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_frames = int(os.environ.get("BENCH_BATCH_FRAMES", "32"))
     n_blocks = int(os.environ.get("BISECT_BLOCKS", "3"))
-    cfg = PRESETS["HDL-64"].replace(
-        map_query_chunk=int(os.environ.get("BENCH_QCHUNK", "2048")))
-
-    streams = [bench._cached_sequence(n_frames + 2, 100 + b,
-                                      bench._stream_speed(b))
-               for b in range(batch)]
-    xyz = np.stack([s[0] for s in streams], axis=1)
-    mask = np.stack([s[1] for s in streams], axis=1)
+    # mirror bench.py's batched config exactly (incl. the sensor-spec
+    # ring_cap/n_raw sizing) so A/Bs compare against the headline path
+    cfg = bench.batched_bench_cfg()
+    xyz, mask, _ = bench.load_streams(cfg, batch, n_frames + 2)
 
     step = batched_step_jit(cfg, donate=True)
     state = batched_init(cfg, batch)

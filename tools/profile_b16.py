@@ -25,7 +25,6 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from aloam_tpu.config import PRESETS  # noqa: E402
 from aloam_tpu import solver  # noqa: E402
 from aloam_tpu import odometry as od  # noqa: E402
 from aloam_tpu import mapping as mp  # noqa: E402
@@ -57,13 +56,9 @@ def timeit(fn, inputs):
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_frames = int(os.environ.get("PROF_FRAMES", "6"))
-    cfg = PRESETS["HDL-64"].replace(map_query_chunk=2048)
-
-    streams = [bench._cached_sequence(n_frames + 2, 100 + b,
-                                      bench._stream_speed(b))
-               for b in range(batch)]
-    xyz = np.stack([s[0] for s in streams], axis=1)
-    mask = np.stack([s[1] for s in streams], axis=1)
+    # the headline batched config (sensor-spec ring_cap/n_raw sizing)
+    cfg = bench.batched_bench_cfg()
+    xyz, mask, _ = bench.load_streams(cfg, batch, n_frames + 2)
 
     # run the real pipeline, recording the state before each frame
     step = batched_step_jit(cfg, donate=False)

@@ -17,7 +17,6 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from aloam_tpu.config import PRESETS  # noqa: E402
 from aloam_tpu.frontend import registration as reg  # noqa: E402
 from aloam_tpu.frontend import features as feat  # noqa: E402
 from aloam_tpu.frontend import voxel as vox  # noqa: E402
@@ -43,11 +42,8 @@ def timeit(fn, inputs):
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_frames = 6
-    cfg = PRESETS["HDL-64"]
-    streams = [bench._cached_sequence(n_frames + 2, 100 + b, 8.0 + 0.5 * b)
-               for b in range(batch)]
-    xyz = np.stack([s[0] for s in streams], axis=1)
-    mask = np.stack([s[1] for s in streams], axis=1)
+    cfg = bench.batched_bench_cfg()   # the headline batched config
+    xyz, mask, _ = bench.load_streams(cfg, batch, n_frames + 2)
     frames = [(jnp.asarray(xyz[2 + f]), jnp.asarray(mask[2 + f]))
               for f in range(n_frames)]
 

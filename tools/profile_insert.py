@@ -23,7 +23,6 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from aloam_tpu.config import PRESETS  # noqa: E402
 from aloam_tpu import mapping as mp  # noqa: E402
 from aloam_tpu.ops import gridmap as gm  # noqa: E402
 from aloam_tpu.ops.gridmap import _cells_of, _vox_id, _hash  # noqa: E402
@@ -128,13 +127,8 @@ def insert_prefix(grid, pts, inten, mask, leaf, cell_size, center, window,
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_frames = 6
-    cfg = PRESETS["HDL-64"]
-
-    streams = [bench._cached_sequence(n_frames + 2, 100 + b,
-                                      bench._stream_speed(b))
-               for b in range(batch)]
-    xyz = np.stack([s[0] for s in streams], axis=1)
-    mask = np.stack([s[1] for s in streams], axis=1)
+    cfg = bench.batched_bench_cfg()   # the headline batched config
+    xyz, mask, _ = bench.load_streams(cfg, batch, n_frames + 2)
 
     step = batched_step_jit(cfg, donate=False)
     state = batched_init(cfg, batch)
