@@ -56,17 +56,56 @@ _EMPTY = 32767  # i16 sentinel cell coordinate
 
 
 class GridMap(NamedTuple):
+    """Two tables per class: positions apart from everything else.
+
+    ``pts`` stays its own table because it feeds the hot row-gathers
+    (cache build / knn) at the minimal 3*Bk row width. The three cold
+    per-slot attributes — intensity, absolute cell coords, voxel id —
+    live in ONE bucket-planar i32 ``aux`` table so insert_b touches them
+    with a single row-gather and a single row-scatter: gather/scatter
+    cost on this TPU is per ROW (~25/87 ns) regardless of width up to
+    ~1 KB, so 4 tables cost 4x what 2 do (measured: insert scatter-back
+    5.7 -> ~2.9 ms at B=16). ``inten``/``cell``/``vox`` remain available
+    as computed views (XLA fuses the slice into the consumer)."""
     pts: jnp.ndarray    # (H, 3*Bk) f32 — bucket-planar xyz voxel centroids
-    inten: jnp.ndarray  # (H, Bk) averaged intensity
-    cell: jnp.ndarray   # (H, 3*Bk) i16 — bucket-planar absolute cell coords
-    vox: jnp.ndarray    # (H, Bk) i32 hashed voxel id (merge matching)
+    aux: jnp.ndarray    # (H, 5*Bk) i32 — planar [inten bits|cx|cy|cz|vox]
 
     @property
     def bucket_cap(self) -> int:
-        return self.vox.shape[-1]
+        return self.aux.shape[-1] // 5
+
+    def _auxv(self) -> jnp.ndarray:
+        a = self.aux
+        return a.reshape(a.shape[:-1] + (5, a.shape[-1] // 5))
+
+    @property
+    def inten(self) -> jnp.ndarray:   # (..., Bk) f32 averaged intensity
+        return jax.lax.bitcast_convert_type(self._auxv()[..., 0, :],
+                                            jnp.float32)
+
+    @property
+    def cell(self) -> jnp.ndarray:    # (..., 3*Bk) i32 abs cell coords
+        v = self._auxv()[..., 1:4, :]
+        return v.reshape(v.shape[:-2] + (3 * v.shape[-1],))
+
+    @property
+    def vox(self) -> jnp.ndarray:     # (..., Bk) i32 hashed voxel id
+        return self._auxv()[..., 4, :]
 
 
 _FAR = 1e9  # empty-slot position sentinel: fails every distance gate
+
+# aux-plane values of a cleared slot: inten 0.0 (bit pattern 0), cell
+# coords at the _EMPTY sentinel, vox id 0
+_AUX_CLEAR = (0, _EMPTY, _EMPTY, _EMPTY, 0)
+
+
+def _pack_aux(inten: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+              cz: jnp.ndarray, vox: jnp.ndarray) -> jnp.ndarray:
+    """(..., Bk) planes -> (..., 5*Bk) planar aux rows."""
+    planes = jnp.stack([jax.lax.bitcast_convert_type(inten, jnp.int32),
+                        cx, cy, cz, vox], axis=-2)
+    return planes.reshape(planes.shape[:-2] + (5 * planes.shape[-1],))
 
 
 def empty(table_size: int, bucket_cap: int) -> GridMap:
@@ -74,11 +113,11 @@ def empty(table_size: int, bucket_cap: int) -> GridMap:
     # produce out-of-range bucket ids (clamped gathers -> corrupted map)
     assert table_size & (table_size - 1) == 0, (
         f"table_size must be a power of two, got {table_size}")
+    aux = jnp.tile(jnp.repeat(jnp.asarray(_AUX_CLEAR, jnp.int32),
+                              bucket_cap), (table_size, 1))
     return GridMap(
         pts=jnp.full((table_size, 3 * bucket_cap), _FAR, jnp.float32),
-        inten=jnp.zeros((table_size, bucket_cap), jnp.float32),
-        cell=jnp.full((table_size, 3 * bucket_cap), _EMPTY, jnp.int16),
-        vox=jnp.zeros((table_size, bucket_cap), jnp.int32))
+        aux=aux)
 
 
 def _viewp(a: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +136,7 @@ def count_near(grid: GridMap, center: jnp.ndarray,
     the reference's local 5×5×3-cube map-point count that gates the mapping
     solve (laserMapping.cpp:531-554). One masked pass over the i16 cell
     table (~a few MB), no gathers."""
-    c = _viewp(grid.cell).astype(jnp.int32)       # (H, 3, Bk)
+    c = grid._auxv()[..., 1:4, :]                 # (H, 3, Bk)
     live = c[:, 0, :] != _EMPTY
     near = jnp.all(jnp.abs(c - center[None, :, None])
                    <= half_cells[None, :, None], axis=-2)
@@ -107,7 +146,7 @@ def count_near(grid: GridMap, center: jnp.ndarray,
 def count_near_b(grid: GridMap, center: jnp.ndarray,
                  half_cells: jnp.ndarray) -> jnp.ndarray:
     """Batched count_near: grid leaves (B, H, ·), center (B, 3) -> (B,)."""
-    c = _viewp(grid.cell).astype(jnp.int32)       # (B, H, 3, Bk)
+    c = grid._auxv()[..., 1:4, :]                 # (B, H, 3, Bk)
     live = c[:, :, 0, :] != _EMPTY
     near = jnp.all(jnp.abs(c - center[:, None, :, None])
                    <= half_cells[None, None, :, None], axis=-2)
@@ -126,20 +165,18 @@ def invalidate_outside(grid: GridMap, center: jnp.ndarray,
     One masked compare + where over the i16 cell table (a few MB, no
     gathers). center (3,) pose cell coords (or (B, 3) with batched grid
     leaves); returns (grid, n_cleared)."""
-    c = _viewp(grid.cell).astype(jnp.int32)          # (..., H, 3, Bk)
+    av = grid._auxv()                                # (..., H, 5, Bk)
+    c = av[..., 1:4, :]                              # (..., H, 3, Bk)
     live = c[..., 0, :] != _EMPTY
     ctr = center[..., None, :, None]                 # (..., 1, 3, 1)
     out = live & jnp.any(jnp.abs(c - ctr)
                          > half_cells[None, :, None], axis=-2)
-    out3 = jnp.repeat(out[..., None, :], 3, axis=-2)  # (..., H, 3, Bk)
-    kill = out3.reshape(grid.cell.shape)
+    kill = jnp.repeat(out[..., None, :], 3, axis=-2).reshape(grid.pts.shape)
+    clear = jnp.asarray(_AUX_CLEAR, jnp.int32)[:, None]
+    new_aux = jnp.where(out[..., None, :], clear, av).reshape(grid.aux.shape)
     n_axes = tuple(range(out.ndim - 2, out.ndim))
-    return GridMap(
-        pts=jnp.where(kill, _FAR, grid.pts),
-        inten=jnp.where(out, 0.0, grid.inten),
-        cell=jnp.where(kill, _EMPTY, grid.cell),
-        vox=jnp.where(out, 0, grid.vox),
-    ), jnp.sum(out, axis=n_axes)
+    return GridMap(pts=jnp.where(kill, _FAR, grid.pts),
+                   aux=new_aux), jnp.sum(out, axis=n_axes)
 
 
 def evict_and_count(grid: GridMap, center: jnp.ndarray,
@@ -156,7 +193,8 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
 
     center (3,) or (B, 3) pose cell coords matching the grid leaves.
     Returns (grid, n_cleared, n_near)."""
-    c = _viewp(grid.cell).astype(jnp.int32)          # (..., H, 3, Bk)
+    av = grid._auxv()                                # (..., H, 5, Bk)
+    c = av[..., 1:4, :]                              # (..., H, 3, Bk)
     live = c[..., 0, :] != _EMPTY
     d = jnp.abs(c - center[..., None, :, None])
     near = live & jnp.all(d <= local_half[None, :, None], axis=-2)
@@ -166,14 +204,11 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
         zeros = jnp.zeros_like(n_near)
         return grid, zeros, n_near
     out = live & jnp.any(d > window_half[None, :, None], axis=-2)
-    out3 = jnp.repeat(out[..., None, :], 3, axis=-2)
-    kill = out3.reshape(grid.cell.shape)
-    return GridMap(
-        pts=jnp.where(kill, _FAR, grid.pts),
-        inten=jnp.where(out, 0.0, grid.inten),
-        cell=jnp.where(kill, _EMPTY, grid.cell),
-        vox=jnp.where(out, 0, grid.vox),
-    ), jnp.sum(out, axis=n_axes), n_near
+    kill = jnp.repeat(out[..., None, :], 3, axis=-2).reshape(grid.pts.shape)
+    clear = jnp.asarray(_AUX_CLEAR, jnp.int32)[:, None]
+    new_aux = jnp.where(out[..., None, :], clear, av).reshape(grid.aux.shape)
+    return GridMap(pts=jnp.where(kill, _FAR, grid.pts),
+                   aux=new_aux), jnp.sum(out, axis=n_axes), n_near
 
 
 def _cells_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
@@ -582,7 +617,7 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     """
     from aloam_tpu.utils.batch import bgather
     bsz, n = mask.shape
-    table_size = grid.vox.shape[1]
+    table_size = grid.aux.shape[1]
     bucket_cap = grid.bucket_cap
     cap_c, cap_p = touched_cap, point_cap
 
@@ -637,10 +672,14 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     used = cnt > 0                                          # (B, C)
 
     # --- gather touched-bucket tiles (coordinate planes) ------------------
+    # exactly TWO row-gathers (pts + aux): gather cost is per row, not
+    # per byte, so the fused aux table reads inten/cell/vox in one pass
     pts_tile = bgather(grid.pts, slot_h)                    # (B, C, 3Bk)
-    s_int = bgather(grid.inten, slot_h)                     # (B, C, Bk)
-    cell_tile = bgather(grid.cell, slot_h).astype(jnp.int32)
-    vox_tile = bgather(grid.vox, slot_h)                    # (B, C, Bk)
+    aux_tile = bgather(grid.aux, slot_h)                    # (B, C, 5Bk)
+    av = aux_tile.reshape(bsz, cap_c, 5, bucket_cap)
+    s_int = jax.lax.bitcast_convert_type(av[:, :, 0], jnp.float32)
+    cell_tile = av[:, :, 1:4].reshape(bsz, cap_c, 3 * bucket_cap)
+    vox_tile = av[:, :, 4]                                  # (B, C, Bk)
 
     # --- dense merge + eviction-priority appends ---------------------------
     # one shared contract, two implementations: the fused Pallas kernel on
@@ -663,19 +702,16 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
         ppx, ppy, ppz, ppi, pvox, cnt, center, window, cell_size, leaf)
 
     # --- scatter finished tiles back (wide rows, used buckets only) -------
+    # exactly TWO row-scatters (pts + packed aux) — see GridMap docstring
     hoff = (jnp.arange(bsz, dtype=jnp.int32) * table_size)[:, None]
     dest = jnp.where(used, slot_h + hoff, bsz * table_size)  # (B, C)
     flat = dest.reshape(-1)
     pts_tile = jnp.stack([s_px, s_py, s_pz], axis=2)        # (B, C, 3, Bk)
-    cell_tile = jnp.stack([s_cx, s_cy, s_cz], axis=2).astype(jnp.int16)
+    aux_tile = _pack_aux(s_int, s_cx, s_cy, s_cz, s_vox)    # (B, C, 5Bk)
     new_pts = grid.pts.reshape(-1, 3 * bucket_cap).at[flat].set(
         pts_tile.reshape(bsz * cap_c, 3 * bucket_cap), mode="drop")
-    new_int = grid.inten.reshape(-1, bucket_cap).at[flat].set(
-        s_int.reshape(bsz * cap_c, bucket_cap), mode="drop")
-    new_cell = grid.cell.reshape(-1, 3 * bucket_cap).at[flat].set(
-        cell_tile.reshape(bsz * cap_c, 3 * bucket_cap), mode="drop")
-    new_vox = grid.vox.reshape(-1, bucket_cap).at[flat].set(
-        s_vox.reshape(bsz * cap_c, bucket_cap), mode="drop")
+    new_aux = grid.aux.reshape(-1, 5 * bucket_cap).at[flat].set(
+        aux_tile.reshape(bsz * cap_c, 5 * bucket_cap), mode="drop")
 
     merged = jnp.sum(merged_pb, axis=1)
     appended = jnp.sum(appended_pb, axis=1)
@@ -683,12 +719,9 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     total_valid = jnp.sum(mask, axis=1)
     dropped = total_valid - merged - appended
 
-    shp_w = (bsz, table_size, 3 * bucket_cap)
-    shp_n = (bsz, table_size, bucket_cap)
-    new_grid = GridMap(pts=new_pts.reshape(shp_w),
-                       inten=new_int.reshape(shp_n),
-                       cell=new_cell.reshape(shp_w),
-                       vox=new_vox.reshape(shp_n))
+    new_grid = GridMap(
+        pts=new_pts.reshape(bsz, table_size, 3 * bucket_cap),
+        aux=new_aux.reshape(bsz, table_size, 5 * bucket_cap))
     return new_grid, merged, appended, evicted, dropped
 
 
@@ -719,8 +752,8 @@ def insert(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
 def extract(grid: GridMap):
     """Host-side (points, intensity) of all valid entries."""
     import numpy as np
-    cell = np.asarray(grid.cell).reshape(grid.cell.shape[:-1]
-                                         + (3, grid.bucket_cap))
+    cell = np.asarray(grid.cell)
+    cell = cell.reshape(cell.shape[:-1] + (3, grid.bucket_cap))
     m = cell[..., 0, :] != _EMPTY
     pts = np.moveaxis(np.asarray(grid.pts).reshape(
         grid.pts.shape[:-1] + (3, grid.bucket_cap)), -2, -1)

@@ -52,7 +52,7 @@ def insert_prefix(grid, pts, inten, mask, leaf, cell_size, center, window,
     """Replays insert_b up to a section boundary (kept in sync with
     gridmap.insert_b by the shared helpers)."""
     bsz, n = mask.shape
-    table_size = grid.vox.shape[1]
+    table_size = grid.aux.shape[1]
     bucket_cap = grid.bucket_cap
     cap_c, cap_p = touched_cap, point_cap
 
@@ -104,9 +104,11 @@ def insert_prefix(grid, pts, inten, mask, leaf, cell_size, center, window,
         return ppx, ppy, ppz, ppi, pvox, cnt, slot_h
 
     pts_tile = bgather(grid.pts, slot_h)
-    s_int = bgather(grid.inten, slot_h)
-    cell_tile = bgather(grid.cell, slot_h).astype(jnp.int32)
-    vox_tile = bgather(grid.vox, slot_h)
+    aux_tile = bgather(grid.aux, slot_h)
+    av = aux_tile.reshape(aux_tile.shape[:2] + (5, bucket_cap))
+    s_int = jax.lax.bitcast_convert_type(av[:, :, 0], jnp.float32)
+    cell_tile = av[:, :, 1:4].reshape(av.shape[:2] + (3 * bucket_cap,))
+    vox_tile = av[:, :, 4]
     if upto == "gather":
         return pts_tile, s_int, cell_tile, vox_tile
 
