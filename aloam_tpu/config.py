@@ -165,8 +165,15 @@ PRESETS: dict[str, AloamConfig] = {
     "HDL-64": AloamConfig(
         scan_lines=64, minimum_range=5.0,
         line_resolution=0.4, plane_resolution=0.8,
-        # less_flat measured max 30536 at B=16 (round 4); the cap drives
-        # the odometry surf search's M and the stack-voxel sort width
-        n_raw=131072, ring_cap=2560, less_flat_cap=36864,
+        # less_flat_cap derivation: the cap must hold ANY scene the PRESET
+        # serves (the reference's static 400k arrays never drop points,
+        # scanRegistration.cpp:66-69).  Worst case observed across repo
+        # scenes is the frontend golden scene (seed 3, 1200 azimuth):
+        # 36864 drops 2 points there; 40960 = 64 rings x 640 passes every
+        # scene with headroom and is the round-3 value.  The bench scene's
+        # tighter measured occupancy (30536 at B=16) belongs in
+        # bench.batched_bench_cfg(), NOT here — bench-scene sizing leaking
+        # into the PRESET broke the golden suite in round 4.
+        n_raw=131072, ring_cap=2560, less_flat_cap=40960,
     ),
 }

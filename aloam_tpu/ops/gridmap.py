@@ -162,9 +162,10 @@ def invalidate_outside(grid: GridMap, center: jnp.ndarray,
     under bucket pressure, so a leave-and-return trajectory could
     re-associate against points the reference would have dropped.
 
-    One masked compare + where over the i16 cell table (a few MB, no
-    gathers). center (3,) pose cell coords (or (B, 3) with batched grid
-    leaves); returns (grid, n_cleared)."""
+    One masked compare over the i32 cell planes (aux rows 1:4) followed
+    by a full rewrite of the 5·Bk aux + 3·Bk pts tables (no gathers).
+    center (3,) pose cell coords (or (B, 3) with batched grid leaves);
+    returns (grid, n_cleared)."""
     av = grid._auxv()                                # (..., H, 5, Bk)
     c = av[..., 1:4, :]                              # (..., H, 3, Bk)
     live = c[..., 0, :] != _EMPTY
@@ -183,13 +184,16 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
                     window_half: jnp.ndarray, local_half: jnp.ndarray,
                     evict: bool = True):
     """Fused rolling-window discard + local-map census: ONE pass over the
-    i16 cell table computes both ``invalidate_outside``'s out-of-window
-    clear and ``count_near``'s in-local live count (each alone reads the
-    full multi-MB table; the mapping step needs both back-to-back).
-    Correct because the local 5×5×3-cube box is strictly inside the
-    rolling window box, so the census is identical before and after the
-    clear. With ``evict=False`` the table passes through unchanged (lazy
-    mode) and only the census is computed.
+    i32 cell planes (aux rows 1:4) computes both ``invalidate_outside``'s
+    out-of-window clear and ``count_near``'s in-local live count (each
+    alone reads the full multi-MB table; the mapping step needs both
+    back-to-back), then rewrites the 5·Bk aux + 3·Bk pts tables.
+    The census is taken on the POST-clear mask (near & ~out), matching
+    census-after-clear semantics even when a shrunken config's local
+    5×5×3-cube box pokes outside the rolling window box (normally local
+    is strictly inside the window and ~out is a no-op). With
+    ``evict=False`` the table passes through unchanged (lazy mode) and
+    the census deliberately counts any stale in-window entries.
 
     center (3,) or (B, 3) pose cell coords matching the grid leaves.
     Returns (grid, n_cleared, n_near)."""
@@ -199,11 +203,12 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
     d = jnp.abs(c - center[..., None, :, None])
     near = live & jnp.all(d <= local_half[None, :, None], axis=-2)
     n_axes = tuple(range(near.ndim - 2, near.ndim))
-    n_near = jnp.sum(near, axis=n_axes)
     if not evict:
+        n_near = jnp.sum(near, axis=n_axes)
         zeros = jnp.zeros_like(n_near)
         return grid, zeros, n_near
     out = live & jnp.any(d > window_half[None, :, None], axis=-2)
+    n_near = jnp.sum(near & ~out, axis=n_axes)
     kill = jnp.repeat(out[..., None, :], 3, axis=-2).reshape(grid.pts.shape)
     clear = jnp.asarray(_AUX_CLEAR, jnp.int32)[:, None]
     new_aux = jnp.where(out[..., None, :], clear, av).reshape(grid.aux.shape)

@@ -207,6 +207,13 @@ def merge_tiles(pts_tile, s_int, cell_tile, vox_tile,
                 f"ALOAM_INSERT_TB={tb}: must be a positive multiple of 8")
     else:
         tb = max(8, min(128, (2048 // max(cap_p_static, 1)) // 8 * 8))
+    if tb * cap_p_static > 2048:
+        raise ValueError(
+            f"insert kernel tile tb={tb} x point cap {cap_p_static} = "
+            f"{tb * cap_p_static} > 2048: the unrolled append loop's "
+            f"scoped-VMEM live set would exceed the 16 MB limit (opaque "
+            f"Mosaic compile failure). Lower ALOAM_INSERT_TB or "
+            f"map_insert_point_cap so tb*p_cap <= 2048.")
     bsz, cap_c, cap_p = ppx.shape
     bk = vox_tile.shape[-1]
     n = bsz * cap_c

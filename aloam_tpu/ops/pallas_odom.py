@@ -143,9 +143,6 @@ def _window_kernel(sel_ref, ref_ref, out_ref, *, m_chunk: int,
         axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nearby", "tq", "m_chunk", "m_chunk1",
-                                    "interpret", "ring_seg"))
 def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
                 nearby: float, tq: int = 256, m_chunk: int = 2048,
                 m_chunk1: int = 0,
@@ -165,8 +162,9 @@ def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
     granularity, but the pass-1 temporaries ((TQ, m_chunk1) d2 + argmin
     machinery) live on the scoped-VMEM stack: 4*2048 measured 18.9 MB > the
     16 MB limit on v5e. Must be a multiple of m_chunk; output-identical
-    for any value. ``ALOAM_ODOM_P1_CHUNK`` overrides for sweeps (read at
-    trace time).
+    for any value. ``ALOAM_ODOM_P1_CHUNK`` overrides for sweeps — resolved
+    HERE (outside jit) so it participates in the static-argument cache key
+    and in-process sweeps re-compile instead of reusing a stale trace.
     """
     import os as _os
     if m_chunk1 <= 0:
@@ -174,6 +172,17 @@ def window_mins(sel: jnp.ndarray, ref_planar: jnp.ndarray,
                                        str(2 * m_chunk)))
     if m_chunk1 % m_chunk:
         raise ValueError(f"m_chunk1={m_chunk1} not a multiple of {m_chunk}")
+    return _window_mins_jit(sel, ref_planar, nearby, tq, m_chunk, m_chunk1,
+                            interpret, ring_seg)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nearby", "tq", "m_chunk", "m_chunk1",
+                                    "interpret", "ring_seg"))
+def _window_mins_jit(sel: jnp.ndarray, ref_planar: jnp.ndarray,
+                     nearby: float, tq: int, m_chunk: int, m_chunk1: int,
+                     interpret: bool, ring_seg: int):
+    assert m_chunk1 > 0, "resolve ALOAM_ODOM_P1_CHUNK in window_mins"
     bsz, q_n, _ = sel.shape
     m = ref_planar.shape[2]
     # don't pad a small cloud up to a coarse pass-1 chunk

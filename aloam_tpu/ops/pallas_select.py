@@ -97,10 +97,6 @@ def _select_kernel(curv_ref, bcum_ref, spep_ref, label_ref, *,
     label_ref[:] = label
 
 
-@functools.partial(jax.jit, static_argnames=("n_regions", "max_sharp",
-                                             "max_less_sharp", "max_flat",
-                                             "nms_window", "curv_thr", "tr",
-                                             "interpret"))
 def select_rings(curv: jnp.ndarray, bcum: jnp.ndarray, spep: jnp.ndarray,
                  n_regions: int, max_sharp: int, max_less_sharp: int,
                  max_flat: int, nms_window: int, curv_thr: float,
@@ -110,14 +106,29 @@ def select_rings(curv: jnp.ndarray, bcum: jnp.ndarray, spep: jnp.ndarray,
     cloudLabel semantics: 2 sharp, 1 less-sharp, -1 flat, 0 other.
 
     tr is the ring-row tile height; 0 resolves ``ALOAM_SELECT_TR``
-    (default 64, trace-time read — restart the process to sweep). The 144
-    sequential picks are dependency-latency-bound on (tr, C) tiles, so a
-    taller tile amortizes them across more rings per grid step (v5e B=16
-    step: tr=8 -> 145.9, 32 -> 150.5, 64 -> 151.2 scans/s); rows are
-    independent, so any tr is output-identical."""
+    (default 64) HERE, outside jit, so sweeps re-compile instead of
+    reusing a stale trace. The 144 sequential picks are
+    dependency-latency-bound on (tr, C) tiles, so a taller tile amortizes
+    them across more rings per grid step (v5e B=16 step: tr=8 -> 145.9,
+    32 -> 150.5, 64 -> 151.2 scans/s); rows are independent, so any tr is
+    output-identical."""
     if tr <= 0:
         import os as _os
         tr = int(_os.environ.get("ALOAM_SELECT_TR", "64"))
+    return _select_rings_jit(curv, bcum, spep, n_regions, max_sharp,
+                             max_less_sharp, max_flat, nms_window,
+                             curv_thr, tr, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n_regions", "max_sharp",
+                                             "max_less_sharp", "max_flat",
+                                             "nms_window", "curv_thr", "tr",
+                                             "interpret"))
+def _select_rings_jit(curv: jnp.ndarray, bcum: jnp.ndarray,
+                      spep: jnp.ndarray, n_regions: int, max_sharp: int,
+                      max_less_sharp: int, max_flat: int, nms_window: int,
+                      curv_thr: float, tr: int, interpret: bool):
+    assert tr > 0, "resolve ALOAM_SELECT_TR in select_rings, not under jit"
     r, c = curv.shape
     pad = (-r) % tr
     if pad:
