@@ -88,6 +88,18 @@ class AloamConfig:
                                         # set for batched streams, see knn doc)
     map_cell_cap: int = 1024            # knn_b distinct query cells per
                                         # stream; spills are gated + counted
+    assoc_cspan: int = 0                # cap on the assoc kernel's per-tile
+                                        # cell-window span (0 = exact full
+                                        # TQ window). Queries beyond the
+                                        # clipped window lose their factors
+                                        # — counted in overflow, never
+                                        # silent (gridmap.ASSOC_CSPAN env
+                                        # overrides for sweeps). Default
+                                        # OFF: tiny scenes can have tile
+                                        # spans near TQ; only measured
+                                        # workloads (bench.batched_bench_cfg
+                                        # sets 128 from tools/assoc_span.py
+                                        # histograms) should clip
     eager_window_evict: bool = True     # clear out-of-window map entries at
                                         # the top of every mapping step (the
                                         # reference's rolling-window discard,

@@ -196,14 +196,18 @@ def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
 
     sel (B, Q, 3) world-frame queries in the cache's sorted order;
     poison (B, Q) True masks a query out (gate forced shut — identical to
-    the XLA path's zeroed-neighbor semantics). Returns the packed (B, Q, 8)
-    factor columns of ops/pallas_assoc.py.
+    the XLA path's zeroed-neighbor semantics). Returns (out8, n_spilled):
+    the packed (B, Q, 8) factor columns of ops/pallas_assoc.py plus the
+    scalar count of live queries lost to the CSPAN window cap
+    (gridmap.ASSOC_CSPAN; always 0 when the cap is off) — callers fold it
+    into the overflow metric, never silent.
 
     On TPU this is the fully fused kernel (cell-window DMA + one-hot
     broadcast + select + fit, ops/pallas_assoc.assoc_cell); elsewhere an
     XLA pipeline with identical semantics on the same sorted inputs
     (interpret-mode tests + the bench's on-chip assertion pin the two
-    paths together)."""
+    paths together) — CSPAN spills are poisoned identically in both
+    branches."""
     from aloam_tpu.ops import pallas_assoc
     from aloam_tpu.ops.pallas_gate import use_pallas
     kw = _assoc_kw(cfg)
@@ -212,46 +216,68 @@ def _assoc_out8_b(sel, poison, cache: gridmap.KnnCache,
     # XLA path applies internally), or an origin-adjacent spilled query
     # would emit factors from the wrong cell neighborhood
     poison = poison | (cache.cid_sorted >= cache.cell_cap)
+
+    # tile structure (shared by the kernel branch and the CSPAN spill
+    # accounting): per-stream queries padded to TQ-multiples, flattened
+    # with stream offsets so tiles never straddle streams
+    bsz, q_n0 = sel.shape[:2]
+    tq = gridmap.ASSOC_TQ
+    # env (sweeps) wins over the config field; both static at trace time
+    cspan = gridmap.ASSOC_CSPAN or cfg.assoc_cspan
+    assert cspan % 8 == 0 and 0 <= cspan <= tq, (cspan, tq)
+    crows = cache.cand_flat.shape[1]            # cell_cap + ASSOC_PAD
+    cid_sorted = cache.cid_sorted
+    q_pad = (-q_n0) % tq                        # per-stream tile alignment
+    q_n = q_n0 + q_pad
+    pad_sel, pad_poison = sel, poison
+    if q_pad:
+        # pad queries poisoned, pad cids with the stream's LAST value
+        # (keeps cid non-decreasing and the tile's cell span <= tq)
+        pad_sel = jnp.pad(sel, ((0, 0), (0, q_pad), (0, 0)))
+        pad_poison = jnp.pad(poison, ((0, 0), (0, q_pad)),
+                             constant_values=True)
+        cid_sorted = jnp.concatenate(
+            [cid_sorted,
+             jnp.repeat(cid_sorted[:, -1:], q_pad, axis=1)], axis=1)
+    cid_flat = (cid_sorted
+                + (jnp.arange(bsz, dtype=jnp.int32) * crows)[:, None]
+                ).reshape(bsz * q_n)
+    cid0 = cid_flat[::tq]                       # (B·Q/tq,)
+    local = (cid_flat - jnp.repeat(cid0, tq)).astype(jnp.float32)
+
+    n_spilled = jnp.int32(0)
+    if cspan and cspan < tq:
+        # the kernel's clipped window starts at align8(cid0): a query
+        # whose align8-local index reaches past cspan + 8 gets no factors
+        rem = (cid0 - 8 * jnp.floor_divide(cid0, 8)).astype(jnp.float32)
+        spill = (local + jnp.repeat(rem, tq)) >= float(cspan + 8)
+        spill = spill.reshape(bsz, q_n) & ~pad_poison
+        n_spilled = jnp.sum(spill).astype(jnp.int32)
+        pad_poison = pad_poison | spill
+        poison = pad_poison[:, :q_n0]
+
     # force_kernel_interpret: tests exercise the FULL kernel-branch
     # plumbing (padding, cid0/local windows, poison routing) on CPU via
     # the interpret-mode kernel — the branch a backend check would hide
     if use_pallas("assoc") or force_kernel_interpret:
-        bsz, q_n = sel.shape[:2]
-        tq = gridmap.ASSOC_TQ
-        crows = cache.cand_flat.shape[1]        # cell_cap + ASSOC_PAD
-        cid_sorted = cache.cid_sorted
-        q_pad = (-q_n) % tq                     # per-stream tile alignment
-        if q_pad:
-            # pad queries poisoned, pad cids with the stream's LAST value
-            # (keeps cid non-decreasing and the tile's cell span <= tq)
-            sel = jnp.pad(sel, ((0, 0), (0, q_pad), (0, 0)))
-            poison = jnp.pad(poison, ((0, 0), (0, q_pad)),
-                             constant_values=True)
-            cid_sorted = jnp.concatenate(
-                [cid_sorted,
-                 jnp.repeat(cid_sorted[:, -1:], q_pad, axis=1)], axis=1)
-            q_n += q_pad
-        cid_flat = (cid_sorted
-                    + (jnp.arange(bsz, dtype=jnp.int32) * crows)[:, None]
-                    ).reshape(bsz * q_n)
-        cid0 = cid_flat[::tq]                   # (B·Q/tq,)
-        local = (cid_flat - jnp.repeat(cid0, tq)).astype(jnp.float32)
         q8 = jnp.concatenate(
-            [sel.reshape(bsz * q_n, 3),
-             poison.reshape(bsz * q_n, 1).astype(jnp.float32),
+            [pad_sel.reshape(bsz * q_n, 3),
+             pad_poison.reshape(bsz * q_n, 1).astype(jnp.float32),
              local[:, None],
              jnp.zeros((bsz * q_n, 3), jnp.float32)], axis=-1)
         out8 = pallas_assoc.assoc_cell(
             cache.cand_flat.reshape(bsz * crows, -1), cid0, q8, kind,
-            cfg.map_knn_gate_sq, tq=tq,
+            cfg.map_knn_gate_sq, tq=tq, cspan=cspan,
             interpret=force_kernel_interpret, **kw)
-        return out8.reshape(bsz, q_n, 8)[:, :q_n - q_pad]
+        return out8.reshape(bsz, q_n, 8)[:, :q_n0], n_spilled
     # XLA fallback: poisoned queries routed to the spill slot (same
-    # +inf-d2 semantics as the kernel's poison channel)
+    # +inf-d2 semantics as the kernel's poison channel; CSPAN spills
+    # were already folded into `poison` above)
     cid_p = jnp.where(poison, cache.cell_cap, cache.cid_sorted)
     d2, near, _ = gridmap.knn_from_cache_b(
         cache._replace(cid=cid_p), sel, 5, cfg.map_query_chunk)
-    return pallas_assoc.assoc_xla(d2, near, cfg.map_knn_gate_sq, kind, **kw)
+    out8 = pallas_assoc.assoc_xla(d2, near, cfg.map_knn_gate_sq, kind, **kw)
+    return out8, n_spilled
 
 
 def mapping_step_b(state: MapState, corner_in: PointCloud,
@@ -344,10 +370,11 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
                     & c_ds_mask & solve_ok[:, None], axis=1) + jnp.sum(
                     jnp.any(sc != cells0[1], axis=-1)
                     & s_ds_mask & solve_ok[:, None], axis=1)
-        c8 = _assoc_out8_b(sel_c, ~(c_ds_mask & solve_ok[:, None]),
-                           c_cache, cfg, "corner")
-        s8 = _assoc_out8_b(sel_s, ~(s_ds_mask & solve_ok[:, None]),
-                           s_cache, cfg, "surf")
+        c8, csp = _assoc_out8_b(sel_c, ~(c_ds_mask & solve_ok[:, None]),
+                                c_cache, cfg, "corner")
+        s8, ssp = _assoc_out8_b(sel_s, ~(s_ds_mask & solve_ok[:, None]),
+                                s_cache, cfg, "surf")
+        spills = spills + csp + ssp
         edges = _factors_of(c8, corner_stack, "corner")
         planes = _factors_of(s8, surf_stack, "surf")
         q_w, t_w, stats = lm_b(edges, planes, q_w, t_w)

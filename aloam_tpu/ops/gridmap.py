@@ -195,6 +195,13 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
     ``evict=False`` the table passes through unchanged (lazy mode) and
     the census deliberately counts any stale in-window entries.
 
+    The clear's full-table REWRITE (~35 MB/stream of pts+aux) runs under
+    a ``lax.cond`` on "is anything actually out?": points only leave the
+    ±525 m window when the pose has travelled that far past them, so on
+    the vast majority of frames ``out`` is all-false and the rewrite is
+    skipped — the census read pass (which also yields n_cleared) always
+    runs, so metrics and semantics are unchanged.
+
     center (3,) or (B, 3) pose cell coords matching the grid leaves.
     Returns (grid, n_cleared, n_near)."""
     av = grid._auxv()                                # (..., H, 5, Bk)
@@ -209,11 +216,20 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
         return grid, zeros, n_near
     out = live & jnp.any(d > window_half[None, :, None], axis=-2)
     n_near = jnp.sum(near & ~out, axis=n_axes)
-    kill = jnp.repeat(out[..., None, :], 3, axis=-2).reshape(grid.pts.shape)
-    clear = jnp.asarray(_AUX_CLEAR, jnp.int32)[:, None]
-    new_aux = jnp.where(out[..., None, :], clear, av).reshape(grid.aux.shape)
-    return GridMap(pts=jnp.where(kill, _FAR, grid.pts),
-                   aux=new_aux), jnp.sum(out, axis=n_axes), n_near
+    n_out = jnp.sum(out, axis=n_axes)
+
+    def do_clear(operands):
+        g, out_m = operands
+        kill = jnp.repeat(out_m[..., None, :], 3,
+                          axis=-2).reshape(g.pts.shape)
+        clear = jnp.asarray(_AUX_CLEAR, jnp.int32)[:, None]
+        new_aux = jnp.where(out_m[..., None, :], clear,
+                            g._auxv()).reshape(g.aux.shape)
+        return GridMap(pts=jnp.where(kill, _FAR, g.pts), aux=new_aux)
+
+    grid = jax.lax.cond(jnp.sum(n_out) > 0, do_clear,
+                        lambda operands: operands[0], (grid, out))
+    return grid, n_out, n_near
 
 
 def _cells_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
@@ -304,6 +320,19 @@ if ASSOC_TQ <= 0 or ASSOC_TQ % 8:
         "(the fused association kernel's align8 cell-window contract); "
         "it must also divide the per-stream query count")
 ASSOC_PAD = ASSOC_TQ + 8
+
+# Cell-window span cap of the fused association kernel (0 = full TQ
+# window). A TQ-query tile references at most TQ distinct cells, but the
+# MEASURED span is far smaller (queries share cells ~8:1 on SLAM stacks;
+# tools/assoc_span.py prints the histogram), so a CSPAN < TQ window cuts
+# both the per-tile DMA and the one-hot select matmul by TQ/CSPAN.
+# Queries beyond the window get no factors — counted in the overflow
+# metric (mapping._assoc_out8_b), never silent.
+ASSOC_CSPAN = int(_os.environ.get("ALOAM_ASSOC_CSPAN", "0"))
+if ASSOC_CSPAN and (ASSOC_CSPAN % 8 or not 0 < ASSOC_CSPAN <= ASSOC_TQ):
+    raise ValueError(
+        f"ALOAM_ASSOC_CSPAN={ASSOC_CSPAN}: must be a multiple of 8 in "
+        f"(0, ASSOC_TQ={ASSOC_TQ}]")
 
 
 class KnnCache(NamedTuple):

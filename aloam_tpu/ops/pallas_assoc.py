@@ -242,8 +242,8 @@ def _fit_and_emit(out_ref, ds, nxs, nys, nzs, *, kind, gate_sq, plane_tol,
 
 
 def _assoc_cell_kernel(base8_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
-                       kind: str, bw: int, tq: int, gate_sq: float,
-                       plane_tol: float, eigen_ratio: float,
+                       kind: str, bw: int, tq: int, win: int,
+                       gate_sq: float, plane_tol: float, eigen_ratio: float,
                        half_len: float):
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
@@ -257,7 +257,7 @@ def _assoc_cell_kernel(base8_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
         # offset divisible by the (8, 128) sublane tiling, and `x * 8` is
         # provable where an opaque prefetched scalar is not.
         return pltpu.make_async_copy(
-            cand_ref.at[pl.ds(base8_ref[idx] * 8, tq + 8)], scratch.at[s],
+            cand_ref.at[pl.ds(base8_ref[idx] * 8, win)], scratch.at[s],
             sem.at[s])
 
     @pl.when(i == 0)
@@ -272,7 +272,14 @@ def _assoc_cell_kernel(base8_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
     q = q_ref[:]                                     # (TQ, 8)
     local = q[:, 4].astype(jnp.int32)                # cid - base, [0, TQ+8)
     oh = (local[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (tq, tq + 8), 1)).astype(jnp.float32)
+        jnp.int32, (tq, win), 1)).astype(jnp.float32)
+    if win < tq + 8:
+        # CSPAN < TQ: queries whose cell lies beyond the clipped window
+        # must be poisoned, not silently matched against a zero crow —
+        # callers count them (arithmetic poison: Mosaic-safe bool form)
+        spilled = (local >= win).astype(jnp.float32)
+        q = jnp.concatenate(
+            [q[:, :3], jnp.maximum(q[:, 3:4], spilled[:, None])], axis=1)
     dma(i, slot).wait()
     # one-hot row select: exact (single nonzero per reduction, f32 HIGHEST)
     crow = jax.lax.dot_general(oh, scratch[slot], (((1,), (0,)), ((), ())),
@@ -287,11 +294,12 @@ def _assoc_cell_kernel(base8_ref, q_ref, cand_ref, out_ref, scratch, sem, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "kind", "tq", "bw", "gate_sq", "plane_tol", "eigen_ratio", "half_len",
-    "interpret"))
+    "cspan", "interpret"))
 def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
                kind: str, gate_sq: float, plane_tol: float = 0.2,
                eigen_ratio: float = 3.0, half_len: float = 0.1,
-               tq: int = 256, bw: int = 0, interpret: bool = False):
+               tq: int = 256, bw: int = 0, cspan: int = 0,
+               interpret: bool = False):
     """Fused association over cell-sorted queries.
 
     cand_flat: (Ctot, 8·3·bw) block-planar candidate rows (all streams'
@@ -307,6 +315,12 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
       local_cid = cid - cid0[tile] ∈ [0, tq); the align8 remainder is
       folded in here, not by the caller.
 
+    cspan: cap on the cell-window span (0 = tq, the exact full window).
+      With 0 < cspan < tq the per-tile DMA and one-hot matmul shrink to
+      (cspan + 8) rows; queries whose local cid lands beyond that window
+      are poisoned in-kernel (gated factors) — callers must count them
+      (mapping._assoc_out8_b folds the count into the overflow metric).
+
     Returns (N, 8) f32 packed factors (see OUT_W column map). N must be a
     multiple of tq, and tiles must not straddle stream boundaries (Q per
     stream divisible by tq).
@@ -316,6 +330,10 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
     if bw == 0:
         bw = w3 // 24
     assert n % tq == 0, (n, tq)
+    if cspan <= 0 or cspan > tq:
+        cspan = tq
+    assert cspan % 8 == 0, cspan
+    win = cspan + 8                                  # +8: align8 start
     base8 = jnp.floor_divide(cid0, 8)
     rem = (cid0 - base8 * 8).astype(q8.dtype)        # [0, 8) per tile
     q8 = q8.at[:, 4].add(jnp.repeat(rem, tq))        # local vs align8 base
@@ -331,13 +349,13 @@ def assoc_cell(cand_flat: jnp.ndarray, cid0: jnp.ndarray, q8: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             # double-buffered windows, +8 rows for the align8 start
-            pltpu.VMEM((2, tq + 8, w3), jnp.float32),
+            pltpu.VMEM((2, win, w3), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(
-            _assoc_cell_kernel, kind=kind, bw=bw, tq=tq,
+            _assoc_cell_kernel, kind=kind, bw=bw, tq=tq, win=win,
             gate_sq=float(gate_sq), plane_tol=float(plane_tol),
             eigen_ratio=float(eigen_ratio), half_len=float(half_len)),
         grid_spec=grid_spec,

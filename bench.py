@@ -78,12 +78,19 @@ def batched_bench_cfg(base=None):
     less_flat_cap = 36864 is likewise bench-scene sizing (measured max
     occupancy 30536 at B=16, 1.2x margin, +4 scans/s) — it lives HERE,
     not in the PRESET, because the frontend golden scene needs 40960
-    (round-4 lesson: bench sizing in config.PRESETS broke the suite)."""
+    (round-4 lesson: bench sizing in config.PRESETS broke the suite).
+
+    assoc_cspan = 128 clips the assoc kernel's per-tile cell window
+    (measured spans on this scene: corner p99 112 / max 125, surf max
+    141 of a possible TQ+8 = 264 — tools/assoc_span.py; spill rate at
+    128 is 0% corner / 0.007% surf, counted in overflow). Measured
+    +1.9%: 175.6 -> 178.9 scans/s at B=16. OFF in the PRESET: exactness
+    first."""
     base = base if base is not None else PRESETS["HDL-64"]
     return base.replace(
         map_query_chunk=int(os.environ.get("BENCH_QCHUNK", "2048")),
         ring_cap=_AZ + 56, n_raw=-(-64 * _AZ // 512) * 512,
-        less_flat_cap=36864)
+        less_flat_cap=36864, assoc_cspan=128)
 
 
 def load_streams(cfg, batch, n_frames):

@@ -509,6 +509,103 @@ def test_pallas_assoc_cell_matches_xla(rng):
                                    atol=5e-4)
 
 
+def test_pallas_assoc_cell_cspan_window(rng):
+    """CSPAN < TQ clips the kernel's cell-window: queries inside the
+    clipped window must be bit-identical to the full-window run, and
+    queries beyond it must come back gated (poisoned in-kernel, counted
+    by the caller) — never silently matched against a zeroed window."""
+    from aloam_tpu.ops.pallas_assoc import assoc_cell
+
+    tq, bw, cspan = 64, 16, 16
+    w = 8 * bw
+    n_cells, n = 200, 4 * tq   # ~50 cells/tile >> cspan: spills guaranteed
+    pad_rows = n_cells + tq + 8
+    cand = rng.uniform(-1.0, 1.0,
+                       size=(pad_rows, 8, 3, bw)).astype(np.float32)
+    cand_flat = cand.reshape(pad_rows, 3 * w)
+
+    # spans wider than cspan: cells advance ~1 per query so tile spans
+    # are ~tq >> cspan
+    cid = np.sort(rng.integers(0, n_cells, size=n)).astype(np.int32)
+    q = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
+    cid0 = cid[::tq].copy()
+    local = cid - np.repeat(cid0, tq)
+    q8 = np.zeros((n, 8), np.float32)
+    q8[:, :3], q8[:, 4] = q, local
+
+    full = np.asarray(assoc_cell(
+        jnp.asarray(cand_flat), jnp.asarray(cid0), jnp.asarray(q8),
+        "surf", 1.0, tq=tq, bw=bw, interpret=True))
+    clip = np.asarray(assoc_cell(
+        jnp.asarray(cand_flat), jnp.asarray(cid0), jnp.asarray(q8),
+        "surf", 1.0, tq=tq, bw=bw, cspan=cspan, interpret=True))
+    rem = cid0 - 8 * (cid0 // 8)
+    spilled = (local + np.repeat(rem, tq)) >= cspan + 8
+    assert spilled.any() and (~spilled).any()
+    # in-window queries: identical outputs; spilled: gated
+    np.testing.assert_array_equal(clip[~spilled], full[~spilled])
+    assert not clip[spilled][:, 4].any(), "cspan spill leaked factors"
+
+
+def test_assoc_out8_b_cspan_counts_spills(populated, monkeypatch):
+    """The caller-side CSPAN accounting: with a tiny forced span cap, the
+    kernel and XLA branches agree (both poison the same spilled queries)
+    and n_spilled matches an independent NumPy recount."""
+    from aloam_tpu import geometry as geo
+
+    feats1, _, mst1, feats1_b, ost1_b, mst1_b = populated
+    cfg = CFG
+    monkeypatch.setattr(gridmap, "ASSOC_CSPAN", 8)
+    q_w = geo.qmul(mst1_b.q_wmap_wodom, ost1_b.q_w)
+    t_w = geo.qrot(mst1_b.q_wmap_wodom, ost1_b.t_w) + mst1_b.t_wmap_wodom
+
+    from aloam_tpu.frontend.voxel import voxel_downsample_masked_b
+    surf_in = feats1_b.less_flat
+    s_vals = jnp.concatenate(
+        [surf_in.xyz, surf_in.intensity[..., None]], axis=-1)
+    s_ds, s_m, _ = voxel_downsample_masked_b(
+        s_vals, surf_in.mask, cfg.plane_resolution, cfg.surf_stack_cap)
+    stack = s_ds[..., :3]
+    sel0 = geo.qrot(q_w[:, None, :], stack) + t_w[:, None, :]
+    cache, (sx, sy, sz, it, mi) = gridmap.knn_cache_b(
+        mst1_b.surf, sel0, cfg.knn_cell, cfg.knn_radius, cfg.map_cell_cap,
+        payloads=(stack[..., 0], stack[..., 1], stack[..., 2],
+                  s_ds[..., 3], s_m.astype(jnp.int32)))
+    sel = geo.qrot(q_w[:, None, :],
+                   jnp.stack([sx, sy, sz], -1)) + t_w[:, None, :]
+    poison = ~(mi > 0)
+
+    xla, n_x = mp._assoc_out8_b(sel, poison, cache, cfg, "surf")
+    ker, n_k = mp._assoc_out8_b(sel, poison, cache, cfg, "surf",
+                                force_kernel_interpret=True)
+    assert int(n_x) == int(n_k) > 0
+
+    # independent recount of the kernel's spill rule
+    bsz, q_n = sel.shape[:2]
+    tq = gridmap.ASSOC_TQ
+    crows = cache.cand_flat.shape[1]
+    cid = np.asarray(cache.cid_sorted)
+    dead = np.asarray(poison) | (cid >= cache.cell_cap)
+    q_pad = (-q_n) % tq
+    cid_p = np.concatenate(
+        [cid, np.repeat(cid[:, -1:], q_pad, axis=1)], axis=1)
+    dead_p = np.concatenate(
+        [dead, np.ones((bsz, q_pad), bool)], axis=1)
+    cid_f = (cid_p + np.arange(bsz)[:, None] * crows).reshape(-1)
+    cid0 = cid_f[::tq]
+    rem = cid0 - 8 * (cid0 // 8)
+    loc = cid_f - np.repeat(cid0, tq) + np.repeat(rem, tq)
+    expect = int(((loc >= 8 + 8) & ~dead_p.reshape(-1)).sum())
+    assert int(n_k) == expect
+
+    # spilled queries are gated in BOTH branches; the rest agree
+    spill = ((loc >= 16) & ~dead_p.reshape(-1)).reshape(bsz, -1)[:, :q_n]
+    xla, ker = np.asarray(xla), np.asarray(ker)
+    assert not xla[spill][:, 4].any() and not ker[spill][:, 4].any()
+    agree = np.mean(xla[..., 4] == ker[..., 4])
+    assert agree >= 0.98, f"ok flags agree {agree}"
+
+
 def test_pallas_insert_merge_matches_xla(rng):
     """The fused insert merge/append kernel (interpret mode on CPU) must
     reproduce gridmap._merge_dense_xla bit-for-bit: same last-match-wins
@@ -624,9 +721,9 @@ def test_assoc_kernel_branch_matches_xla_on_pipeline_data(populated):
                                  >= cache.cell_cap)
 
     for kind in ("surf", "corner"):
-        xla = mp._assoc_out8_b(sel, poison, cache, cfg, kind)
-        ker = mp._assoc_out8_b(sel, poison, cache, cfg, kind,
-                               force_kernel_interpret=True)
+        xla, _ = mp._assoc_out8_b(sel, poison, cache, cfg, kind)
+        ker, _ = mp._assoc_out8_b(sel, poison, cache, cfg, kind,
+                                  force_kernel_interpret=True)
         xla, ker = np.asarray(xla), np.asarray(ker)
         okc = 4 if kind == "surf" else 6
         # exact invariant: poisoned/spilled queries are gated in BOTH paths

@@ -88,6 +88,18 @@ CFG64 = AloamConfig(
 )
 
 
+def _run_engine_hdl64(scans):
+    step = pipeline.make_step_fn(CFG64, donate=False)
+    st = pipeline.init_state(CFG64)
+    t_odom_e, t_map_e = [], []
+    for s in scans:
+        xyz, mask = syn.pad_scan(s, CFG64.n_raw)
+        st, out = step(st, jnp.asarray(xyz), jnp.asarray(mask))
+        t_odom_e.append(np.asarray(out.t_odom))
+        t_map_e.append(np.asarray(out.t_map))
+    return np.stack(t_odom_e), np.stack(t_map_e)
+
+
 def test_trajectory_matches_full_oracle_hdl64():
     scans, _ = syn.make_sequence(2, scan_lines=64, n_azimuth=900,
                                  seed=5, speed=0.5)
@@ -97,18 +109,37 @@ def test_trajectory_matches_full_oracle_hdl64():
         line_res=CFG64.line_resolution, plane_res=CFG64.plane_resolution,
         min_range=CFG64.minimum_range)
 
-    step = pipeline.make_step_fn(CFG64, donate=False)
-    st = pipeline.init_state(CFG64)
-    t_odom_e, t_map_e = [], []
-    for s in scans:
-        xyz, mask = syn.pad_scan(s, CFG64.n_raw)
-        st, out = step(st, jnp.asarray(xyz), jnp.asarray(mask))
-        t_odom_e.append(np.asarray(out.t_odom))
-        t_map_e.append(np.asarray(out.t_map))
-    t_odom_e = np.stack(t_odom_e)
-    t_map_e = np.stack(t_map_e)
-
+    t_odom_e, t_map_e = _run_engine_hdl64(scans)
     d_odom = np.linalg.norm(t_odom_e - t_odom_o, axis=1)
     d_map = np.linalg.norm(t_map_e - t_map_o, axis=1)
+    assert d_odom.max() < 0.06, (d_odom, t_odom_e, t_odom_o)
+    assert d_map.max() < 0.06, (d_map, t_map_e, t_map_o)
+
+
+# 10-frame HDL-64 pin (VERDICT r4 #4): the headline config's anchor at the
+# depth the VLP-16 path already has. The 64-beam oracle costs minutes per
+# frame, so the trajectory is host-cached (tests/oracle/cache.py) and the
+# test is marked slow; the cache key covers the oracle sources, so an
+# oracle change regenerates it.
+N_FRAMES64 = 10
+
+
+@pytest.mark.slow
+def test_trajectory_matches_full_oracle_hdl64_long():
+    from tests.oracle.cache import oracle_trajectory
+
+    scans, _ = syn.make_sequence(N_FRAMES64, scan_lines=64, n_azimuth=900,
+                                 seed=5, speed=0.5)
+    t_odom_o, t_map_o, _ = oracle_trajectory(
+        f"hdl64-pin-v1:{N_FRAMES64}", scans,
+        dict(scan_lines=64, line_res=CFG64.line_resolution,
+             plane_res=CFG64.plane_resolution,
+             min_range=CFG64.minimum_range))
+
+    t_odom_e, t_map_e = _run_engine_hdl64(scans)
+    d_odom = np.linalg.norm(t_odom_e - t_odom_o, axis=1)
+    d_map = np.linalg.norm(t_map_e - t_map_o, axis=1)
+    # same tolerance class as the 20-frame VLP-16 pin (f32/jit noise floor
+    # + threshold-gate flips compounding over frames)
     assert d_odom.max() < 0.06, (d_odom, t_odom_e, t_odom_o)
     assert d_map.max() < 0.06, (d_map, t_map_e, t_map_o)

@@ -208,8 +208,8 @@ def main():
         import aloam_tpu.geometry as geo
         sel_c = geo.qrot(q_w[:, None, :], cst) + t_w[:, None, :]
         sel_s = geo.qrot(q_w[:, None, :], sst) + t_w[:, None, :]
-        c8 = mp._assoc_out8_b(sel_c, ~cm, cc, cfg, "corner")
-        s8 = mp._assoc_out8_b(sel_s, ~sm, sc_, cfg, "surf")
+        c8, _ = mp._assoc_out8_b(sel_c, ~cm, cc, cfg, "corner")
+        s8, _ = mp._assoc_out8_b(sel_s, ~sm, sc_, cfg, "surf")
         return c8, s8
     res["map_assoc_fused_round"] = timeit(jax.jit(assoc_fused), built)
 
