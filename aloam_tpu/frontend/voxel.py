@@ -31,15 +31,22 @@ import jax.numpy as jnp
 _SENTINEL = 2 ** 30  # plain scalar: jnp constants at import time would init backends
 
 
-def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
-                out_cap: int, force_kernel_interpret: bool = False):
-    """Shared rows-batched core. values (R, N, K) with xyz leading, mask
-    (R, N). Sort by (k, ji) — identical order to a stable radix sort by
-    i, then j, then k — with the K payload columns riding the same sort.
-    (j, i) pack exactly into one key after a per-row rebase: a single
-    cloud spans well under 8192 cells per axis at any leaf ≥ 0.1 m, and
-    fewer sort keys measured faster. Invalid rows sort last via a
-    sentinel k. Returns (out (R, out_cap, K), out_mask, per-row drops)."""
+def voxel_segment_tails(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
+                        force_kernel_interpret: bool = False):
+    """Voxel sort + segmented sums, stopping BEFORE compaction.
+
+    values (R, N, K) with xyz leading, mask (R, N). Sort by (k, ji) —
+    identical order to a stable radix sort by i, then j, then k — with
+    the K payload columns riding the same sort. (j, i) pack exactly into
+    one key after a per-row rebase: a single cloud spans well under 8192
+    cells per axis at any leaf ≥ 0.1 m, and fewer sort keys measured
+    faster. Invalid rows sort last via a sentinel k.
+
+    Returns ``(sums (K-tuple of (R, N)), cnts (R, N), is_tail (R, N))``
+    in (k, ji)-sorted order: each voxel's channel sums and point count
+    sit at its segment TAIL slot (is_tail True). Shared by the
+    compacting downsample below and by ``gridmap.insert_vds_b``, which
+    fuses its bucket sort with the compaction sort."""
     r, n, k_dim = values.shape
     ijk = jnp.floor(values[..., :3] * (1.0 / leaf)).astype(jnp.int32)
     base = jnp.min(jnp.where(mask[..., None], ijk, 2 ** 30), axis=1,
@@ -81,15 +88,28 @@ def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
             combine, (tuple(vals_s), new_seg), axis=1)
 
     # segment totals live at segment TAILS: the slot before the next head
-    # (or the last valid slot). Compact them with one stable payload sort
-    # keyed on is_tail — order stays (k, ji), i.e. PCL leaf order.
+    # (or the last valid slot)
     nxt_head = jnp.concatenate(
         [new_seg[:, 1:] | ~mask_s[:, 1:], jnp.ones((r, 1), bool)], axis=1)
     is_tail = mask_s & nxt_head
+    return tuple(prefix[:k_dim]), prefix[k_dim], is_tail
+
+
+def _voxel_core(values: jnp.ndarray, mask: jnp.ndarray, leaf: float,
+                out_cap: int, force_kernel_interpret: bool = False):
+    """Shared rows-batched core: segment stage (voxel_segment_tails) +
+    tail compaction. Returns (out (R, out_cap, K), out_mask, drops)."""
+    r, n, k_dim = values.shape
+    sums, cnt_s, is_tail = voxel_segment_tails(
+        values, mask, leaf, force_kernel_interpret)
+
+    # Compact the per-segment totals with one stable payload sort keyed
+    # on is_tail — order stays (k, ji), i.e. PCL leaf order — replacing
+    # the former flat scatter-add (see module docstring).
     iota = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
     key2 = jnp.where(is_tail, iota, _SENTINEL)
-    packed = jax.lax.sort((key2,) + tuple(prefix), dimension=1, num_keys=1,
-                          is_stable=True)
+    packed = jax.lax.sort((key2,) + tuple(sums) + (cnt_s,), dimension=1,
+                          num_keys=1, is_stable=True)
     totals = packed[1:1 + k_dim]
     cnts = packed[1 + k_dim]
 

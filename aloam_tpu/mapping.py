@@ -19,6 +19,7 @@ chain transformAssociateToMap / transformUpdate (:142-152).
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -55,6 +56,14 @@ class MapMetrics(NamedTuple):
     # reference's per-round re-search (laserMapping.cpp:562-727); ~0 in
     # practice (sub-cell pose deltas), asserted by the e2e tests
     cache_crossed: jnp.ndarray = 0  # plain int default: no backend init
+
+
+def _fused_insert() -> bool:
+    """ALOAM_FUSED_INSERT=0 restores the voxel_downsample+insert_b
+    two-call form for on-chip A/B. Read at trace time — set it before
+    the first step compile of the process (jit caches the traced
+    branch), like ALOAM_DISABLE_PALLAS."""
+    return _os.environ.get("ALOAM_FUSED_INSERT", "1") != "0"
 
 
 def init_state(cfg: AloamConfig) -> MapState:
@@ -388,22 +397,28 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     window = _window_cells(cfg)
     center = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
 
-    def prep(stack, inten, m, leaf, cap):
+    # fused map-frame re-voxelize + insert (gridmap.insert_vds_b — one
+    # sort cheaper per class than the prep(voxel_downsample)+insert_b
+    # form it is pinned bit-exact against; the prep compaction never
+    # dropped: out_cap == the stack cap). ALOAM_FUSED_INSERT=0 restores
+    # the two-call form for on-chip A/B (per-process: read at trace time)
+    def ins(grid_s, stack, inten, m, leaf):
         pts_w = geo.qrot(q_w[:, None, :], stack) + t_w[:, None, :]
+        if _fused_insert():
+            return gridmap.insert_vds_b(
+                grid_s, pts_w, inten, m, leaf, cfg.knn_cell, center,
+                window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
         vals = jnp.concatenate([pts_w, inten[..., None]], axis=-1)
-        out, om, dropped = voxel_downsample_masked_b(vals, m, leaf, cap)
-        return out[..., :3], out[..., 3], om, dropped
+        out, om, _ = voxel_downsample_masked_b(vals, m, leaf, m.shape[1])
+        return gridmap.insert_b(
+            grid_s, out[..., :3], out[..., 3], om, leaf, cfg.knn_cell,
+            center, window, cfg.map_insert_point_cap,
+            cfg.map_insert_cell_cap)
 
-    c_pts, c_int, c_m, d1 = prep(corner_stack, c_int, c_ds_mask,
-                                 cfg.line_resolution, cfg.corner_stack_cap)
-    s_pts, s_int, s_m, d2 = prep(surf_stack, s_int, s_ds_mask,
-                                 cfg.plane_resolution, cfg.surf_stack_cap)
-    corner, _, _, ev1, dr1 = gridmap.insert_b(
-        state.corner, c_pts, c_int, c_m, cfg.line_resolution, cfg.knn_cell,
-        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
-    surf, _, _, ev2, dr2 = gridmap.insert_b(
-        state.surf, s_pts, s_int, s_m, cfg.plane_resolution, cfg.knn_cell,
-        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
+    corner, _, _, ev1, dr1 = ins(state.corner, corner_stack, c_int,
+                                 c_ds_mask, cfg.line_resolution)
+    surf, _, _, ev2, dr2 = ins(state.surf, surf_stack, s_int,
+                               s_ds_mask, cfg.plane_resolution)
 
     new_state = MapState(
         corner=corner, surf=surf,
@@ -412,7 +427,7 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     metrics = MapMetrics(
         from_map_corner=n_map_corner, from_map_surf=n_map_surf,
         corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
-        overflow=(dc + ds_ + d1 + d2) + dr1 + dr2 + spills,
+        overflow=(dc + ds_) + dr1 + dr2 + spills,
         evicted=ev1 + ev2 + cleared, degenerate=degen,
         cache_crossed=crossed)
     return new_state, metrics
@@ -517,22 +532,29 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     window = _window_cells(cfg)
     center = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
 
-    def prep(stack, inten, m, leaf, cap):
+    # fused re-voxelize + insert, B=1 through the batched kernel so there
+    # is exactly one insert semantics (see mapping_step_b's ins())
+    def ins(grid_s, stack, inten, m, leaf):
         pts_w = geo.qrot(q_w, stack) + t_w
+        if _fused_insert():
+            g1 = jax.tree.map(lambda x: x[None], grid_s)
+            out = gridmap.insert_vds_b(
+                g1, pts_w[None], inten[None], m[None], leaf, cfg.knn_cell,
+                center[None], window, cfg.map_insert_point_cap,
+                cfg.map_insert_cell_cap)
+            return (jax.tree.map(lambda x: x[0], out[0]),) + tuple(
+                o[0] for o in out[1:])
         vals = jnp.concatenate([pts_w, inten[:, None]], axis=1)
-        out, om, dropped = voxel_downsample_masked(vals, m, leaf, cap)
-        return out[:, :3], out[:, 3], om, dropped
+        out, om, _ = voxel_downsample_masked(vals, m, leaf, m.shape[0])
+        return gridmap.insert(
+            grid_s, out[:, :3], out[:, 3], om, leaf, cfg.knn_cell,
+            center, window, cfg.map_insert_point_cap,
+            cfg.map_insert_cell_cap)
 
-    c_pts, c_int, c_m, d1 = prep(corner_stack, c_ds[:, 3], c_ds_mask,
-                                 cfg.line_resolution, cfg.corner_stack_cap)
-    s_pts, s_int, s_m, d2 = prep(surf_stack, s_ds[:, 3], s_ds_mask,
-                                 cfg.plane_resolution, cfg.surf_stack_cap)
-    corner, _, _, ev1, dr1 = gridmap.insert(
-        state.corner, c_pts, c_int, c_m, cfg.line_resolution, cfg.knn_cell,
-        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
-    surf, _, _, ev2, dr2 = gridmap.insert(
-        state.surf, s_pts, s_int, s_m, cfg.plane_resolution, cfg.knn_cell,
-        center, window, cfg.map_insert_point_cap, cfg.map_insert_cell_cap)
+    corner, _, _, ev1, dr1 = ins(state.corner, corner_stack, c_ds[:, 3],
+                                 c_ds_mask, cfg.line_resolution)
+    surf, _, _, ev2, dr2 = ins(state.surf, surf_stack, s_ds[:, 3],
+                               s_ds_mask, cfg.plane_resolution)
 
     new_state = MapState(
         corner=corner, surf=surf,
@@ -541,7 +563,7 @@ def mapping_step(state: MapState, corner_in: PointCloud,
     metrics = MapMetrics(
         from_map_corner=n_map_corner, from_map_surf=n_map_surf,
         corner_factors=n_edge, surf_factors=n_plane, solved=solve_ok,
-        overflow=dc + ds_ + d1 + d2 + dr1 + dr2,
+        overflow=dc + ds_ + dr1 + dr2,
         evicted=ev1 + ev2 + cleared,
         degenerate=degen, cache_crossed=crossed)
     return new_state, metrics

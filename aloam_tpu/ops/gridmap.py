@@ -649,11 +649,8 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     dropped counts every valid input point that neither merged nor
     appended (bucket-slot pressure, point_cap or touched_cap spills).
     """
-    from aloam_tpu.utils.batch import bgather
-    bsz, n = mask.shape
+    bsz = mask.shape[0]
     table_size = grid.aux.shape[1]
-    bucket_cap = grid.bucket_cap
-    cap_c, cap_p = touched_cap, point_cap
 
     cell = _cells_of(pts, cell_size)                        # (B, N, 3)
     vox = _vox_id(pts, leaf)
@@ -664,6 +661,26 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     key_s, px_s, py_s, pz_s, pi_s, vox_s = jax.lax.sort(
         (key, pts[..., 0], pts[..., 1], pts[..., 2], inten, vox),
         dimension=1, num_keys=1, is_stable=True)
+    return _insert_sorted(grid, key_s, px_s, py_s, pz_s, pi_s, vox_s,
+                          jnp.sum(mask, axis=1), leaf, cell_size, center,
+                          window, point_cap, touched_cap,
+                          force_kernel_interpret)
+
+
+def _insert_sorted(grid: GridMap, key_s, px_s, py_s, pz_s, pi_s, vox_s,
+                   total_valid, leaf: float, cell_size: float,
+                   center: jnp.ndarray, window: jnp.ndarray,
+                   point_cap: int, touched_cap: int,
+                   force_kernel_interpret: bool = False):
+    """insert_b's tail after the bucket sort: inputs are the sorted key
+    column (invalid rows at the ``table_size`` sentinel) plus the sorted
+    payload planes. Shared by insert_b and insert_vds_b (whose bucket
+    sort doubles as the voxel-downsample compaction)."""
+    from aloam_tpu.utils.batch import bgather
+    bsz, n = key_s.shape
+    table_size = grid.aux.shape[1]
+    bucket_cap = grid.bucket_cap
+    cap_c, cap_p = touched_cap, point_cap
     valid_s = key_s < table_size
     pay_s = jnp.stack([px_s, py_s, pz_s, pi_s], axis=-1)    # (B, N, 4)
 
@@ -750,13 +767,70 @@ def insert_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
     merged = jnp.sum(merged_pb, axis=1)
     appended = jnp.sum(appended_pb, axis=1)
     evicted = jnp.sum(evicted_pb, axis=1)
-    total_valid = jnp.sum(mask, axis=1)
     dropped = total_valid - merged - appended
 
     new_grid = GridMap(
         pts=new_pts.reshape(bsz, table_size, 3 * bucket_cap),
         aux=new_aux.reshape(bsz, table_size, 5 * bucket_cap))
     return new_grid, merged, appended, evicted, dropped
+
+
+def insert_vds_b(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,
+                 mask: jnp.ndarray, leaf: float, cell_size: float,
+                 center: jnp.ndarray, window: jnp.ndarray,
+                 point_cap: int = 16, touched_cap: int = 4096,
+                 force_kernel_interpret: bool = False):
+    """Fused map-frame voxel downsample + insert — semantically identical
+    to ``voxel_downsample_masked_b(vals, mask, leaf, out_cap=N)`` followed
+    by ``insert_b`` (pinned by a bit-exactness test), one sort cheaper.
+
+    The two-call form runs THREE payload sorts per class: the voxel sort,
+    the downsample's tail-compaction sort, and insert_b's bucket sort.
+    Here the bucket sort IS the compaction: each voxel's mean is computed
+    at its segment-tail slot (frontend.voxel.voxel_segment_tails), keyed
+    by the bucket hash of the mean (non-tails ride the ``table_size``
+    sentinel like masked-out points), and one stable sort delivers the
+    bucket grouping directly. Order within a bucket is unchanged — the
+    stable compaction kept voxels in (k, ji) order and the stable bucket
+    sort preserved it, exactly as this fused sort does. The old path's
+    intermediate ``out_cap`` compaction never drops when out_cap == N
+    (a downsample cannot grow a cloud), so no capacity semantics change;
+    the voxel-id payload channel is recomputed elementwise from the
+    sorted means instead of riding the sort.
+
+    pts (B, N, 3) map-frame points; inten (B, N); mask (B, N).
+    Returns (grid, merged, appended, evicted, dropped) with dropped
+    counted against the number of occupied voxels (the old path's
+    total_valid after its downsample)."""
+    bsz, n = mask.shape
+    table_size = grid.aux.shape[1]
+    from aloam_tpu.frontend.voxel import voxel_segment_tails
+    vals = jnp.concatenate([pts, inten[..., None]], axis=-1)
+    sums, cnts, is_tail = voxel_segment_tails(vals, mask, leaf,
+                                              force_kernel_interpret)
+    den = jnp.maximum(cnts, 1.0)   # divide (not *reciprocal): bit-parity
+    mx, my, mz, mi = (s / den for s in sums)                # (B, N) planes
+
+    # bucket hash of the voxel MEAN — per-plane forms of _cells_of/_hash
+    # (floor(x / cell_size): keep the division, floor(x * (1/cs)) can
+    # round differently at cell boundaries)
+    hx = jnp.floor(mx / cell_size).astype(jnp.int32)
+    hy = jnp.floor(my / cell_size).astype(jnp.int32)
+    hz = jnp.floor(mz / cell_size).astype(jnp.int32)
+    h = jnp.bitwise_and((hx * _P1) ^ (hy * _P2) ^ (hz * _P3),
+                        table_size - 1)
+    key = jnp.where(is_tail, h, table_size)
+
+    key_s, px_s, py_s, pz_s, pi_s = jax.lax.sort(
+        (key, mx, my, mz, mi), dimension=1, num_keys=1, is_stable=True)
+    # per-plane _vox_id of the sorted means (elementwise, not a payload)
+    vox_s = ((jnp.floor(px_s / leaf).astype(jnp.int32) * _P1)
+             ^ (jnp.floor(py_s / leaf).astype(jnp.int32) * _P2)
+             ^ (jnp.floor(pz_s / leaf).astype(jnp.int32) * _P3))
+    return _insert_sorted(grid, key_s, px_s, py_s, pz_s, pi_s, vox_s,
+                          jnp.sum(is_tail, axis=1), leaf, cell_size,
+                          center, window, point_cap, touched_cap,
+                          force_kernel_interpret)
 
 
 def insert(grid: GridMap, pts: jnp.ndarray, inten: jnp.ndarray,

@@ -154,6 +154,54 @@ def test_gridmap_insert_b_matches(grids):
     _assert_rows_match([tuple(o[1:]) for o in outs], tuple(outb[1:]))
 
 
+def test_insert_vds_b_bitexact(grids):
+    """The fused voxel-downsample+insert (gridmap.insert_vds_b) must be
+    BIT-exact vs voxel_downsample_masked_b followed by insert_b: the
+    stable bucket sort preserves the compaction's (k, ji) voxel order, so
+    every bucket sees the same points in the same order (mapping_step's
+    hot path relies on this equivalence; ALOAM_FUSED_INSERT=0 switches
+    the engine back to the two-call form)."""
+    outs, outb, rng = grids
+    gb = outb[0]
+    bsz = gb.pts.shape[0]
+    leaf, cell = 0.4, 2.0
+    pts = rng.uniform(-30, 30, size=(bsz, 400, 3)).astype(np.float32)
+    ints = rng.uniform(size=(bsz, 400)).astype(np.float32)
+    msk = rng.uniform(size=(bsz, 400)) > 0.2
+    center = jnp.zeros((bsz, 3), jnp.int32)
+    window = jnp.asarray([50, 50, 30], jnp.int32)
+    args = (gb, jnp.asarray(pts), jnp.asarray(ints), jnp.asarray(msk))
+
+    def two_call(g, p, i, m):
+        vals = jnp.concatenate([p, i[..., None]], -1)
+        out, om, _ = voxel_downsample_masked_b(vals, m, leaf, p.shape[1])
+        return gridmap.insert_b(g, out[..., :3], out[..., 3], om, leaf,
+                                cell, center, window, 8, 256)
+
+    fused_j = jax.jit(lambda g, p, i, m: gridmap.insert_vds_b(
+        g, p, i, m, leaf, cell, center, window, 8, 256))
+    ref = jax.jit(two_call)(*args)
+    fus = fused_j(*args)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(fus)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # a second round with jittered points exercises the MERGE path
+    # (same voxels, midpoint updates) on the updated grids
+    pts2 = jnp.asarray(pts + rng.uniform(
+        -0.05, 0.05, size=pts.shape).astype(np.float32))
+    ref2 = jax.jit(two_call)(ref[0], pts2, args[2], args[3])
+    fus2 = fused_j(fus[0], pts2, args[2], args[3])
+    assert int(np.asarray(ref2[1]).sum()) > 0          # merges happened
+    for a, b in zip(jax.tree.leaves(ref2), jax.tree.leaves(fus2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the kernel branch's plumbing under the fused front-end
+    kf = gridmap.insert_vds_b(ref[0], pts2, args[2], args[3], leaf=leaf,
+                              cell_size=cell, center=center, window=window,
+                              point_cap=8, touched_cap=256,
+                              force_kernel_interpret=True)
+    for a, b in zip(jax.tree.leaves(ref2), jax.tree.leaves(kf)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gridmap_knn_b_matches(grids):
     outs, outb, rng = grids
     g2 = [o[0] for o in outs]
