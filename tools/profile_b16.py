@@ -242,6 +242,25 @@ def main():
             for s, st, a in zip(states, stk, assocs)]
     res["map_prep_insert"] = timeit(ins_j, i_in)
 
+    # the hot path since round 5: fused re-voxelize+insert (insert_vds_b)
+    def ins_vds(ms, c_ds, c_m, s_ds, s_m, q_w, t_w):
+        import aloam_tpu.geometry as geo
+        window = mp._window_cells(cfg)
+        center = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
+
+        def one(grid_s, stack, inten, m, leaf):
+            pts_w = geo.qrot(q_w[:, None, :], stack) + t_w[:, None, :]
+            return gridmap.insert_vds_b(
+                grid_s, pts_w, inten, m, leaf, cfg.knn_cell, center,
+                window, cfg.map_insert_point_cap,
+                cfg.map_insert_cell_cap)[0]
+
+        return (one(ms.corner, c_ds[..., :3], c_ds[..., 3], c_m,
+                    cfg.line_resolution),
+                one(ms.surf, s_ds[..., :3], s_ds[..., 3], s_m,
+                    cfg.plane_resolution))
+    res["map_insert_vds"] = timeit(jax.jit(ins_vds), i_in)
+
     def ins_only(ms, s_pts, s_int, s_mm, t_w):
         window = mp._window_cells(cfg)
         center = jnp.floor(t_w / cfg.knn_cell).astype(jnp.int32)
