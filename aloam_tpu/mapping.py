@@ -324,8 +324,8 @@ def mapping_step_b(state: MapState, corner_in: PointCloud,
     corner_stack, c_int = c_ds[..., :3], c_ds[..., 3]
     surf_stack, s_int = s_ds[..., :3], s_ds[..., 3]
 
-    lm_b = jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
-        (e, p), qq, tt, cfg.map_lm_iters, cfg.huber_delta))
+    lm_b = lambda e, p, qq, tt: solver.lm_solve_b(  # noqa: E731
+        e, p, qq, tt, cfg.map_lm_iters, cfg.huber_delta)
     n_edge = n_plane = None
     degen = jnp.zeros(q_w.shape[0], jnp.int32)
     spills = jnp.int32(0)

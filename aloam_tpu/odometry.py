@@ -233,10 +233,9 @@ def odometry_step_b(state: OdomState, feats: ScanFeatures,
     """Batched odometry_step: all state/feature leaves carry a leading
     stream axis. Correspondences use the flat-op batched kernels; the 6-dof
     LM solve has no gathers, so a plain vmap is optimal there."""
-    import jax
     q, t = state.q_lc, state.t_lc
-    lm_b = jax.vmap(lambda e, p, qq, tt: solver.lm_solve(
-        (e, p), qq, tt, cfg.odom_lm_iters, cfg.huber_delta))
+    lm_b = lambda e, p, qq, tt: solver.lm_solve_b(  # noqa: E731
+        e, p, qq, tt, cfg.odom_lm_iters, cfg.huber_delta)
     metrics = None
     degen = None
     # state.corner_last/surf_last are always frontend ring_heads outputs

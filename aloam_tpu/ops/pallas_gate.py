@@ -7,7 +7,8 @@ back to the XLA path instead of taking the whole pipeline down —
 ``bench.py`` uses this to keep its end-to-end run honest-but-alive
 (output *mismatches* still hard-fail there; only lowering failures
 degrade). Set ``ALOAM_DISABLE_PALLAS`` to a comma-separated subset of
-{assoc, insert, knn, odom, select, voxel} (or ``all``) to force the XLA paths.
+{assoc, insert, knn, lm, odom, select, voxel} (or ``all``) to force the
+XLA paths.
 """
 
 from __future__ import annotations

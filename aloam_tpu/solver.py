@@ -260,3 +260,37 @@ def lm_solve(factors: Sequence, q0, t0, n_iters: int,
     t = jnp.where(pose_ok, t, t0)
     return q, t, SolveStats(cost0=cost0, cost=cost, n_factors=n_factors,
                             clamped=n_clamp, nonfinite=n_nan)
+
+
+def lm_solve_b(edges: EdgeFactors, planes: PlaneFactors, q0, t0,
+               n_iters: int, huber_delta: float = 0.1,
+               lambda0: float = 1e-4):
+    """Batched ``lm_solve`` over a leading stream axis (one edge + one
+    plane factor batch, the shape both pipeline stages use).
+
+    On TPU dispatches to the fused one-dispatch Pallas solve
+    (``ops/pallas_lm.py``) — the vmapped fori_loop form executes ~50
+    small ops per LM iteration and is dispatch-bound (~14 ms of the B=16
+    step, tools/profile_lm.py). Falls back to the vmapped XLA path off
+    TPU, under ``ALOAM_DISABLE_PALLAS=lm``, for per-point-time factors
+    (s != None) or factor caps not divisible by 128."""
+    from aloam_tpu.ops.pallas_gate import use_pallas
+    fusable = (edges.s is None and planes.s is None
+               and edges.mask.shape[1] % 128 == 0
+               and planes.mask.shape[1] % 128 == 0)
+    if fusable and use_pallas("lm"):
+        from aloam_tpu.ops import pallas_lm
+        ef = pallas_lm.pack_edge_channels(edges)
+        pf = pallas_lm.pack_plane_channels(planes)
+        pose = jnp.concatenate(
+            [q0, t0, jnp.zeros_like(t0[:, :1])], axis=1)
+        out = pallas_lm.lm_fused(ef, pf, pose, n_iters, huber_delta,
+                                 lambda0)
+        return out[:, 0:4], out[:, 4:7], SolveStats(
+            cost0=out[:, 7], cost=out[:, 8],
+            n_factors=out[:, 9].astype(jnp.int32),
+            clamped=out[:, 10].astype(jnp.int32),
+            nonfinite=out[:, 11].astype(jnp.int32))
+    f = lambda e, p, qq, tt: lm_solve(  # noqa: E731
+        (e, p), qq, tt, n_iters, huber_delta, lambda0)
+    return jax.vmap(f)(edges, planes, q0, t0)

@@ -312,7 +312,7 @@ def verify_pallas_kernels():
         "ALOAM_DISABLE_PALLAS", "").split(",") if s.strip()}
     if "all" in user_disabled:
         user_disabled |= {"knn", "assoc", "insert", "voxel", "odom",
-                          "select"}
+                          "select", "lm"}
     disabled = [f"{n}: disabled by ALOAM_DISABLE_PALLAS"
                 for n in sorted(user_disabled - {"all"})]
 
@@ -507,6 +507,49 @@ def verify_pallas_kernels():
                         and (c * 256) // seg <= hi):
                     skippable += 1
     assert skippable > 0, "ring_seg check exercised no skip branch"
+
+    # --- pallas_lm.lm_fused (one-dispatch LM solve) ------------------------
+    if "lm" not in user_disabled:
+        from aloam_tpu import solver as slv
+        from aloam_tpu import geometry as geo
+        from aloam_tpu.ops import pallas_lm
+        bl, ne_l, np_l = 3, 256, 384
+        e_p = rng.normal(scale=8.0, size=(bl, ne_l, 3)).astype(np.float32)
+        e_a = e_p + rng.normal(scale=0.05,
+                               size=(bl, ne_l, 3)).astype(np.float32)
+        dirs = rng.normal(size=(bl, ne_l, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        e_m = rng.random((bl, ne_l)) < 0.7
+        p_p = rng.normal(scale=8.0, size=(bl, np_l, 3)).astype(np.float32)
+        nrm = rng.normal(size=(bl, np_l, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        d_l = (-np.sum(nrm * p_p, axis=-1) + rng.normal(
+            scale=0.02, size=(bl, np_l))).astype(np.float32)
+        p_m = rng.random((bl, np_l)) < 0.7
+        e_p[~e_m] = np.inf          # masked padding must not leak
+        edges_l = slv.EdgeFactors(
+            p=jnp.asarray(e_p), a=jnp.asarray(e_a),
+            b=jnp.asarray(e_a + 0.4 * dirs), mask=jnp.asarray(e_m))
+        planes_l = slv.PlaneFactors(
+            p=jnp.asarray(p_p), n=jnp.asarray(nrm), d=jnp.asarray(d_l),
+            mask=jnp.asarray(p_m))
+        q0l = jnp.broadcast_to(geo.qidentity(), (bl, 4))
+        t0l = jnp.asarray(rng.normal(
+            scale=0.1, size=(bl, 3)).astype(np.float32))
+        out_l = np.asarray(pallas_lm.lm_fused(
+            pallas_lm.pack_edge_channels(edges_l),
+            pallas_lm.pack_plane_channels(planes_l),
+            jnp.concatenate([q0l, t0l, jnp.zeros((bl, 1))], axis=1),
+            4, 0.1))
+        q_r, t_r, st_r = jax.vmap(lambda e, p, qq, tt: slv.lm_solve(
+            (e, p), qq, tt, 4, 0.1))(edges_l, planes_l, q0l, t0l)
+        assert np.allclose(out_l[:, 0:4], np.asarray(q_r), atol=5e-5), \
+            "compiled lm_fused quaternion mismatch"
+        assert np.allclose(out_l[:, 4:7], np.asarray(t_r), atol=5e-4), \
+            "compiled lm_fused translation mismatch"
+        assert np.array_equal(out_l[:, 9].astype(np.int32),
+                              np.asarray(st_r.n_factors)), \
+            "compiled lm_fused n_factors mismatch"
     return disabled
 
 
