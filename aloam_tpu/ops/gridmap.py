@@ -227,8 +227,16 @@ def evict_and_count(grid: GridMap, center: jnp.ndarray,
                             g._auxv()).reshape(g.aux.shape)
         return GridMap(pts=jnp.where(kill, _FAR, g.pts), aux=new_aux)
 
-    grid = jax.lax.cond(jnp.sum(n_out) > 0, do_clear,
-                        lambda operands: operands[0], (grid, out))
+    import os as _os
+    if _os.environ.get("ALOAM_COND_EVICT", "1") != "0":
+        grid = jax.lax.cond(jnp.sum(n_out) > 0, do_clear,
+                            lambda operands: operands[0], (grid, out))
+    else:
+        # A/B: unconditional fused where-rewrite (pre-round-5 form). The
+        # cond skips the rewrite on no-evict frames but costs XLA's
+        # conditional buffer materialization (round-5 copy audit: the
+        # pass-through branch COPIES the full tables both ways).
+        grid = do_clear((grid, out))
     return grid, n_out, n_near
 
 

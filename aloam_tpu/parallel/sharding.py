@@ -65,6 +65,68 @@ def batched_step_jit(cfg: AloamConfig, donate: bool = True):
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def pin_table_layouts(cfg: AloamConfig, batch: int, donate: bool = True):
+    """batched_step_jit with the persistent map-table leaves pinned to
+    row-major entry/exit layouts (round-5 copy audit): left to XLA's auto
+    layout assignment, the donated GridMap pts/aux tables get
+    major_to_minor (0, 2, 1) — hash-slot minor — at the jit boundary while
+    every internal consumer (bgather's bitcast reshape, the insert
+    scatter-back) needs row-major, so the compiled step transposes ~1 GiB
+    per call (4 tables × both directions at B=16). Pinning reproduces the
+    unconstrained compile's auto formats for every other leaf and forces
+    row-major only for the four table leaves.
+
+    Returns a jitted step; costs one extra (cached) unconstrained compile
+    to read the auto formats."""
+    from jax.experimental.layout import Format, Layout
+
+    import jax.tree_util as jtu
+
+    f = lambda s, x, m: pipeline.step_b(s, x, m, cfg)  # noqa: E731
+    st = jax.eval_shape(lambda: batched_init(cfg, batch))
+    xyz = jax.ShapeDtypeStruct((batch, cfg.n_raw, 3), jnp.float32)
+    mask = jax.ShapeDtypeStruct((batch, cfg.n_raw), jnp.bool_)
+    base = jax.jit(f, donate_argnums=(0,) if donate else ())
+    comp = base.lower(st, xyz, mask).compile()
+
+    def is_table(shape) -> bool:
+        return (getattr(shape, "ndim", 0) == 3
+                and shape.shape[1] in (cfg.map_table_corner,
+                                       cfg.map_table_surf)
+                and shape.shape[2] % 8 == 0)
+
+    def repin(fmt_tree, shape_tree):
+        fmts = jtu.tree_leaves(fmt_tree)
+        shapes = jtu.tree_leaves(shape_tree)
+        out = []
+        for fmt, sh in zip(fmts, shapes):
+            if is_table(sh):
+                out.append(Format(
+                    layout=Layout(tuple(range(sh.ndim))),
+                    sharding=fmt.sharding))
+            else:
+                out.append(fmt)
+        return jtu.tree_unflatten(jtu.tree_structure(fmt_tree), out)
+
+    # input_formats mirrors (args, kwargs); in_shardings wants just args
+    in_args_fmt = comp.input_formats[0]
+    in_fmt = repin(in_args_fmt, (st, xyz, mask))
+    out_shape = jax.eval_shape(f, st, xyz, mask)
+    # output formats can carry None layouts (tokens etc.) — keep them
+    out_fmts = []
+    for fmt, sh in zip(jtu.tree_leaves(comp.output_formats),
+                       jtu.tree_leaves(out_shape)):
+        if getattr(fmt, "layout", None) is not None and is_table(sh):
+            out_fmts.append(Format(layout=Layout(tuple(range(sh.ndim))),
+                                   sharding=fmt.sharding))
+        else:
+            out_fmts.append(fmt)
+    out_fmt = jtu.tree_unflatten(
+        jtu.tree_structure(comp.output_formats), out_fmts)
+    return jax.jit(f, donate_argnums=(0,) if donate else (),
+                   in_shardings=in_fmt, out_shardings=out_fmt)
+
+
 def batched_step_fn(cfg: AloamConfig, mesh: Mesh):
     """Jitted batched step sharded over the mesh: streams over "data", the
     persistent map TABLES additionally over "model" (their hash-bucket

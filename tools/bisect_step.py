@@ -35,7 +35,11 @@ def main():
     cfg = bench.batched_bench_cfg()
     xyz, mask, _ = bench.load_streams(cfg, batch, n_frames + 2)
 
-    step = batched_step_jit(cfg, donate=True)
+    if os.environ.get("ALOAM_PIN_LAYOUT", "0") != "0":
+        from aloam_tpu.parallel.sharding import pin_table_layouts
+        step = pin_table_layouts(cfg, batch, donate=True)
+    else:
+        step = batched_step_jit(cfg, donate=True)
     state = batched_init(cfg, batch)
     for f in range(2):
         state, out = step(state, jnp.asarray(xyz[f]), jnp.asarray(mask[f]))
