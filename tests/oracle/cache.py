@@ -35,8 +35,18 @@ def oracle_trajectory(tag: str, scans, run_kwargs: dict,
     if use_cache and f.exists():
         z = np.load(f)
         return z["t_odom"], z["t_map"], z["q_map"]
-    t_odom, t_map, q_map = opipe.run_pipeline(scans, **run_kwargs)
+    ckpt = None
     if use_cache:
+        # key-invalidated resume checkpoint: an interrupted multi-hour
+        # oracle run continues where it stopped (oracle.pipeline
+        # run_pipeline checkpoint_path)
         _CACHE.mkdir(exist_ok=True)
+        ckpt = str(f) + ".ckpt"
+    t_odom, t_map, q_map = opipe.run_pipeline(
+        scans, checkpoint_path=ckpt, **run_kwargs)
+    if use_cache:
         np.savez(f, t_odom=t_odom, t_map=t_map, q_map=q_map)
+        import os
+        if ckpt and os.path.exists(ckpt):
+            os.remove(ckpt)
     return t_odom, t_map, q_map

@@ -343,11 +343,19 @@ def _voxel_merge(store: dict, pts: np.ndarray, leaf: float):
 
 
 def run_pipeline(scans, scan_lines=16, line_res=0.2, plane_res=0.4,
-                 min_range=0.3, mapping=None):
+                 min_range=0.3, mapping=None, checkpoint_path=None,
+                 checkpoint_every=20):
     """Full oracle trajectory over a list of raw scans. Returns
     (t_odom (F,3), t_map (F,3), q_map (F,4)). ``mapping`` selects the
     mapping-frame implementation (default: the vectorized twin; pass
-    ``mapping_frame`` for the literal per-point loop)."""
+    ``mapping_frame`` for the literal per-point loop).
+
+    ``checkpoint_path``: optional pickle path; the full loop state is
+    dumped there every ``checkpoint_every`` frames and resumed from on
+    the next call (long oracle runs cost hours of f64 NumPy — a killed
+    run must not lose its progress). The caller owns key-invalidating
+    the path when the oracle sources or scene change
+    (tests/oracle/cache.py folds the source md5 into the filename)."""
     if mapping is None:
         mapping = mapping_frame_vec
     q_lc = np.array([1.0, 0, 0, 0])   # frame-to-frame (warm start carries)
@@ -360,8 +368,20 @@ def run_pipeline(scans, scan_lines=16, line_res=0.2, plane_res=0.4,
     surf_store: dict = {}
     last_ls = last_lf = None
     t_odom, t_map, q_map = [], [], []
+    f_start = 0
+
+    if checkpoint_path is not None:
+        import os
+        import pickle
+        if os.path.exists(checkpoint_path):
+            with open(checkpoint_path, "rb") as fh:
+                ck = pickle.load(fh)
+            (f_start, q_lc, t_lc, q_wod, t_wod, q_wm, t_wm, corner_store,
+             surf_store, last_ls, last_lf, t_odom, t_map, q_map) = ck
 
     for f, scan in enumerate(scans):
+        if f < f_start:
+            continue
         out = oreg.register_scan(np.asarray(scan, np.float64), scan_lines,
                                  min_range=min_range)
         ls = out["less_sharp"]
@@ -405,5 +425,15 @@ def run_pipeline(scans, scan_lines=16, line_res=0.2, plane_res=0.4,
         t_map.append(tw_m)
         q_map.append(qw_m)
         last_ls, last_lf = ls, lf
+
+        if checkpoint_path is not None and (f + 1) % checkpoint_every == 0:
+            import pickle
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump((f + 1, q_lc, t_lc, q_wod, t_wod, q_wm, t_wm,
+                             corner_store, surf_store, last_ls, last_lf,
+                             t_odom, t_map, q_map), fh)
+            import os
+            os.replace(tmp, checkpoint_path)
 
     return (np.asarray(t_odom), np.asarray(t_map), np.asarray(q_map))
